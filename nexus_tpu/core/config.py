@@ -1,0 +1,37 @@
+"""Render configuration.
+
+TPU-native analog of the reference's three config tiers (SURVEY.md §5.6):
+compile-time constants and RenderSettings (Nexus/src/Renderer/RenderSettings.h:4-11)
+collapse into one frozen dataclass whose fields are *static* under jit
+(shapes / loop bounds) plus a small pytree of differentiable knobs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderSettings:
+    """Static render settings — hashable, passed as a jit static argument.
+
+    Mirrors D_RenderSettings (Nexus/src/Cuda/Scene/Scene.cuh:10-17):
+    use_mis, path_length, background color/intensity; plus our own knobs.
+    """
+    width: int = 256
+    height: int = 256
+    path_length: int = 10          # max bounces (reference default 10)
+    use_mis: bool = True
+    background_color: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    background_intensity: float = 1.0
+    # Ours: RR clamp (reference leaves probability unclamped —
+    # PathTracer.cu:167 — which biases when throughput > 1; we clamp to 1
+    # which is identical whenever max(throughput) <= 1).
+    rr_start_bounce: int = 1
+    # Fresnel parity: reproduce the reference's R_perp typo
+    # (Nexus/src/Cuda/BSDF/Fresnel.cuh:28) when True.
+    strict_fresnel_parity: bool = False
+
+    def __post_init__(self):
+        assert self.path_length >= 1
