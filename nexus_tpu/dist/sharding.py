@@ -1,0 +1,103 @@
+"""Multi-chip distribution: pixel/ray sharding over a device mesh.
+
+The reference is single-GPU (SURVEY.md §2.7 — no NCCL/MPI anywhere);
+this layer is the net-new TPU-native scaling story: shard the pixel/ray
+dimension across chips with `shard_map` over a 1-D mesh, replicate the
+scene (BVH + materials are small relative to HBM), and let collectives
+ride ICI:
+  - forward render: zero collectives (pixels are independent — the
+    embarrassingly-parallel axis the reference exploits per-thread,
+    PathTracer.cpp:96-107, becomes the mesh axis),
+  - image assembly: the output stays sharded; only host readback gathers,
+  - gradients (inverse rendering): `jax.grad` through shard_map inserts
+    the psum over scene-parameter grads automatically (replicated params,
+    sharded batch = data parallelism).
+
+Multi-host runs reuse this unchanged: jax.distributed.initialize() makes
+jax.devices() span hosts and the same NamedSharding covers DCN+ICI.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from nexus_tpu.core.config import RenderSettings
+from nexus_tpu.render import megakernel
+from nexus_tpu.scene.scene import SceneData
+
+RAY_AXIS = "rays"
+
+
+def make_mesh(devices=None) -> Mesh:
+    """1-D mesh over all (or given) devices; axis name 'rays'."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (RAY_AXIS,))
+
+
+def render_sharded(scene: SceneData, settings: RenderSettings,
+                   n_samples: int, mesh: Mesh | None = None,
+                   sample_offset: int = 0) -> jnp.ndarray:
+    """Progressive render with pixels sharded across the mesh.
+
+    Each chip traces H*W/n_chips pixels per sample; the scene pytree is
+    replicated. Returns the (H, W, 3) HDR image (sharded on rows until
+    read back).
+    """
+    mesh = mesh or make_mesh()
+    n_dev = mesh.devices.size
+    n_pix = scene.camera.width * scene.camera.height
+    assert n_pix % n_dev == 0, (
+        f"{n_pix} pixels not divisible by {n_dev} devices")
+
+    pixel_sharding = NamedSharding(mesh, P(RAY_AXIS))
+    replicated = NamedSharding(mesh, P())
+
+    @functools.partial(jax.jit, out_shardings=pixel_sharding,
+                       static_argnames=("sample_idx",))
+    def one(scene, pixel_idx, sample_idx):
+        return megakernel.render_pixels(scene, settings, pixel_idx,
+                                        jnp.uint32(sample_idx))
+
+    scene_r = jax.device_put(scene, replicated)
+    pixel_idx = jax.device_put(jnp.arange(n_pix, dtype=jnp.int32),
+                               pixel_sharding)
+
+    acc = None
+    for s in range(n_samples):
+        r = one(scene_r, pixel_idx, sample_offset + s)
+        acc = r if acc is None else acc + (r - acc) / (s + 1)
+    return acc.reshape(scene.camera.height, scene.camera.width, 3)
+
+
+def train_step(scene: SceneData, settings: RenderSettings,
+               pixel_idx: jnp.ndarray, target: jnp.ndarray,
+               sample_idx, lr: float = 0.05):
+    """One inverse-rendering step: L2 image loss → grads on materials.
+
+    This is the "full training step" of the differentiable renderer: a
+    sharded forward render, a backward pass through trace+shade, and an
+    SGD update on the (replicated) material parameters — jax.grad inserts
+    the cross-chip psum of parameter grads (data-parallel reduction).
+    """
+
+    def loss_fn(materials):
+        s = scene.replace(materials=materials)
+        img = megakernel.render_pixels(s, settings, pixel_idx,
+                                       jnp.uint32(sample_idx))
+        return jnp.mean((jnp.clip(img, 0.0, 10.0) - target) ** 2)
+
+    # allow_int: the Materials pytree carries int32 tags (mtype, texture
+    # ids) alongside the float parameters; their "grads" are float0 and
+    # the update below skips them.
+    loss, grads = jax.value_and_grad(loss_fn, allow_int=True)(scene.materials)
+    new_mats = jax.tree_util.tree_map(
+        lambda p, g: (p - lr * g).astype(p.dtype) if jnp.issubdtype(
+            p.dtype, jnp.floating) else p,
+        scene.materials, grads)
+    return scene.replace(materials=new_mats), loss

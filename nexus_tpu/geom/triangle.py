@@ -42,6 +42,30 @@ def intersect(ray_o: jnp.ndarray, ray_d: jnp.ndarray,
     return valid, t, u, v
 
 
+def refine(ray_o: jnp.ndarray, ray_d: jnp.ndarray,
+           v0: jnp.ndarray, v1: jnp.ndarray, v2: jnp.ndarray):
+    """Unmasked Möller–Trumbore (t, u, v) for a KNOWN-hit triangle.
+
+    Used by the differentiable traversal refinement (accel/traverse2):
+    the traversal already established the hit, so no accept tests — just
+    the closed-form solve, which is what gradients flow through.
+    """
+    e0 = v1 - v0
+    e1 = v2 - v0
+    pvec = jnp.cross(ray_d, e1)
+    det = jnp.sum(e0 * pvec, axis=-1)
+    tiny = 1.0e-12
+    det = jnp.where(jnp.abs(det) < tiny,
+                    jnp.where(det < 0, -tiny, tiny), det)
+    inv_det = 1.0 / det
+    s = ray_o - v0
+    u = inv_det * jnp.sum(s * pvec, axis=-1)
+    qvec = jnp.cross(s, e0)
+    v = inv_det * jnp.sum(ray_d * qvec, axis=-1)
+    t = inv_det * jnp.sum(e1 * qvec, axis=-1)
+    return t, u, v
+
+
 def geometric_normal(v0, v1, v2) -> jnp.ndarray:
     """Unnormalized geometric normal cross(e0, e1) (Triangle.cuh:120-126)."""
     return jnp.cross(v1 - v0, v2 - v0)

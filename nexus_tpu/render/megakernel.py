@@ -1,0 +1,362 @@
+"""Megakernel path-tracing integrator.
+
+The TPU re-expression of the reference's per-bounce wavefront pipeline
+(Generate → Trace → Logic → Shade<BSDF> → NEE/shadow-trace → Accumulate,
+Nexus/src/Cuda/PathTracer/PathTracer.cu) as ONE fused jittable function:
+a ``lax.scan`` over bounces with per-lane active masks replacing the
+atomic work queues, and the lane-wise BSDF dispatch (bsdf/dispatch.py)
+replacing the four per-material kernels. XLA fuses the whole bounce body;
+there is no host round-trip inside a sample.
+
+Semantics matched to the reference (citations inline):
+  - miss → background before Russian roulette    (PathTracer.cu:151-164)
+  - RR from bounce 1, p = max(throughput)        (PathTracer.cu:166-175;
+    we clamp p ≤ 1 — identical whenever throughput ≤ 1, unbiased either
+    way, SURVEY.md §8.4)
+  - emissive-hit MIS weight vs lastPdf, disabled at bounce 1
+                                                 (PathTracer.cu:352-390)
+  - shading-normal flip for backfacing non-dielectric hits
+                                                 (PathTracer.cu:408-412)
+  - opacity/alpha pass-through: ray continues, no NEE, lastPdf and MIS
+    origin intentionally stale                   (PathTracer.cu:418-428)
+  - NEE: uniform light → uniform triangle → uniform point, area→solid
+    angle pdf, power-heuristic vs BSDF eval pdf  (PathTracer.cu:213-308)
+  - conductors shade and do NEE — enabled, unlike the reference's
+    disabled kernel (PathTracer.cu:475-478, SURVEY.md §8.1).
+
+Differentiable end-to-end: discrete decisions (RR, lobe pick, light
+pick) are measure-preserving reparameterization-free choices — gradients
+flow through radiance values, not through the decisions themselves.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+import flax.struct
+
+from nexus_tpu.accel import traverse2
+from nexus_tpu.bsdf.dispatch import eval_bsdf, sample_bsdf
+from nexus_tpu.core import rng
+from nexus_tpu.core.config import RenderSettings
+from nexus_tpu.core.math import (barycentric, dot, dot_keep, normalize,
+                                 offset_ray, sgne, to_local_frame,
+                                 to_world_frame)
+from nexus_tpu.core.sampling import (is_pdf_valid, power_heuristic,
+                                     uniform_index, uniform_triangle)
+from nexus_tpu.geom import triangle as tri_mod
+from nexus_tpu.geom.types import MISS_DISTANCE
+from nexus_tpu.scene.camera import generate_rays
+from nexus_tpu.scene.materials import DIELECTRIC
+from nexus_tpu.scene.scene import SceneData
+
+_LAST_PDF_INIT = 1.0e10  # first emissive hit gets MIS weight ≈ 1 (PathTracer.cu:118)
+
+
+@flax.struct.dataclass
+class _PathState:
+    """Per-lane path state (D_PathStateSOA analog, PathTracer.cuh:19-29)."""
+    ray_o: jnp.ndarray       # (R, 3) current ray origin (offset)
+    ray_d: jnp.ndarray       # (R, 3)
+    throughput: jnp.ndarray  # (R, 3)
+    radiance: jnp.ndarray    # (R, 3)
+    last_pdf: jnp.ndarray    # (R,)
+    mis_origin: jnp.ndarray  # (R, 3) origin of the last REAL scatter
+    active: jnp.ndarray      # (R,) bool
+    state: jnp.ndarray       # (R,) uint32 RNG state
+
+
+def _sample_background(scene: SceneData, direction: jnp.ndarray) -> jnp.ndarray:
+    """Flat background color (HDR equirect env maps plug in here later).
+
+    Matches SampleBackground's no-HDR branch (PathTracer.cu:64-83).
+    """
+    return scene.background_color * scene.background_intensity
+
+
+def _light_pdf_area(scene: SceneData, tri_id: jnp.ndarray,
+                    n_tris_of_owner: jnp.ndarray) -> jnp.ndarray:
+    """1 / (lightCount * triCount * area) (PathTracer.cu:272-274, §8.7)."""
+    area = tri_mod.area(scene.bvh.v0[tri_id], scene.bvh.v1[tri_id],
+                        scene.bvh.v2[tri_id])
+    denom = (jnp.float32(max(scene.n_lights, 1))
+             * n_tris_of_owner.astype(jnp.float32) * area)
+    return 1.0 / jnp.maximum(denom, 1.0e-20)
+
+
+def _next_event_estimation(scene: SceneData, settings: RenderSettings,
+                           mat, wi_local, normal, g_normal, hit_p,
+                           throughput, u4):
+    """One NEE sample per lane (NextEventEstimation, PathTracer.cu:213-308).
+
+    Returns (shadow_o, shadow_d, shadow_dist, contribution, do_trace).
+    """
+    light_id = uniform_index(u4[..., 0], scene.n_lights)
+    ntris = scene.light_ntris[light_id]
+    k = uniform_index(u4[..., 1], ntris)
+    tri_id = scene.light_tris[scene.light_start[light_id] + k]
+
+    uv = uniform_triangle(u4[..., 2], u4[..., 3])
+    lv0 = scene.bvh.v0[tri_id]
+    lv1 = scene.bvh.v1[tri_id]
+    lv2 = scene.bvh.v2[tri_id]
+    p_light = barycentric(lv0, lv1, lv2, uv)
+    light_gn = normalize(tri_mod.geometric_normal(lv0, lv1, lv2))
+    light_n = normalize(barycentric(
+        scene.n0[tri_id], scene.n1[tri_id], scene.n2[tri_id], uv))
+
+    # Offset both endpoints along their geometric normals
+    # (PathTracer.cu:251-259).
+    to_light = p_light - hit_p
+    shadow_o = offset_ray(hit_p, g_normal * sgne(dot(to_light, normal))[..., None])
+    p_light = offset_ray(
+        p_light, light_gn * sgne(dot(-to_light, light_n))[..., None])
+    to_light = p_light - shadow_o
+    dist = jnp.sqrt(jnp.maximum(dot(to_light, to_light), 1.0e-20))
+    shadow_d = to_light / dist[..., None]
+
+    wo_local = to_local_frame(normal, shadow_d)
+    cos_theta_o = jnp.abs(dot(light_n, shadow_d))
+    d_sq = dot(to_light, to_light)
+
+    light_pdf = _light_pdf_area(scene, tri_id, ntris) \
+        * d_sq / jnp.maximum(cos_theta_o, 1.0e-8)
+    pdf_ok = is_pdf_valid(light_pdf)
+
+    eval_thr, bsdf_pdf, eval_ok = eval_bsdf(
+        mat, wi_local, wo_local, settings.strict_fresnel_parity)
+    weight = power_heuristic(light_pdf, bsdf_pdf)
+
+    light_mat = scene.materials.take(scene.tri_mat[tri_id])
+    emissive = light_mat.emission * light_mat.intensity[..., None]
+
+    contrib = weight[..., None] * throughput * eval_thr * emissive \
+        / jnp.maximum(light_pdf, 1.0e-20)[..., None]
+    do_trace = pdf_ok & eval_ok & (jnp.max(emissive, axis=-1) > 0.0)
+    contrib = jnp.where(do_trace[..., None], contrib, 0.0)
+    return shadow_o, shadow_d, dist, contrib, do_trace
+
+
+def _bounce(scene: SceneData, settings: RenderSettings, ps: _PathState,
+            bounce_idx: jnp.ndarray, with_stats: bool = False):
+    """One wavefront bounce over all lanes (LogicKernel + Shade + NEE)."""
+    # --- Trace (closest hit) -------------------------------------------
+    isect = traverse2.closest_hit(scene.bvh, ps.ray_o, ps.ray_d)
+    hit = isect.t < MISS_DISTANCE
+
+    # --- Miss: background (PathTracer.cu:151-164), before RR -----------
+    bg = _sample_background(scene, ps.ray_d)
+    miss_now = ps.active & ~hit
+    radiance = jnp.where(miss_now[..., None],
+                         ps.radiance + ps.throughput * bg, ps.radiance)
+
+    # --- Russian roulette (PathTracer.cu:166-175; clamp per §8.4) ------
+    state, u_rr = rng.rand(ps.state)
+    p_survive = jnp.clip(jnp.max(ps.throughput, axis=-1), 0.0, 1.0)
+    first_bounce = bounce_idx == 0
+    p_survive = jnp.where(first_bounce, 1.0, p_survive)
+    survive = u_rr < p_survive
+    throughput = ps.throughput / jnp.maximum(p_survive, 1.0e-8)[..., None]
+    active = ps.active & hit & survive
+
+    # --- Surface fetch (Shade prologue, PathTracer.cu:319-345) ---------
+    tri_id = isect.tri_idx
+    uv = jnp.stack([isect.u, isect.v], axis=-1)
+    v0 = scene.bvh.v0[tri_id]
+    v1 = scene.bvh.v1[tri_id]
+    v2 = scene.bvh.v2[tri_id]
+    hit_p = barycentric(v0, v1, v2, uv)
+    normal = normalize(barycentric(
+        scene.n0[tri_id], scene.n1[tri_id], scene.n2[tri_id], uv))
+    g_normal = normalize(tri_mod.geometric_normal(v0, v1, v2))
+    mat = scene.materials.take(scene.tri_mat[tri_id])
+
+    # --- Emissive hit w/ MIS (PathTracer.cu:357-390) -------------------
+    emissive = mat.emission * mat.intensity[..., None]
+    is_emitter = jnp.max(emissive, axis=-1) > 0.0
+    allow_mis = settings.use_mis & ~first_bounce
+    cos_o = jnp.abs(dot(normal, ps.ray_d))
+    d_sq = dot(hit_p - ps.mis_origin, hit_p - ps.mis_origin)
+    hit_light_pdf = _light_pdf_area(
+        scene, tri_id, scene.inst_ntris[scene.tri_inst[tri_id]]) \
+        * d_sq / jnp.maximum(cos_o, 1.0e-8)
+    mis_w = jnp.where(is_pdf_valid(hit_light_pdf),
+                      power_heuristic(ps.last_pdf, hit_light_pdf), 0.0)
+    weight = jnp.where(allow_mis, mis_w, 1.0)
+    emit_contrib = weight[..., None] * emissive * throughput
+    radiance = jnp.where((active & is_emitter)[..., None],
+                         radiance + emit_contrib, radiance)
+
+    # Last bounce: emissive only, no scatter (PathTracer.cu:394-395).
+    scatterable = active & (bounce_idx < settings.path_length - 1)
+
+    # --- Normal flip for backfacing non-dielectrics (cu:408-412) -------
+    backface = dot(g_normal, ps.ray_d) > 0.0
+    flip = backface & (mat.mtype != DIELECTRIC)
+    normal = jnp.where(flip[..., None], -normal, normal)
+    g_normal = jnp.where(flip[..., None], -g_normal, g_normal)
+
+    wi_local = to_local_frame(normal, -ps.ray_d)
+
+    # --- Opacity pass-through (cu:418-428); alpha maps join later ------
+    state, u_op = rng.rand(state)
+    state, _u_alpha = rng.rand(state)  # reserved: texture alpha slot
+    pass_through = scatterable & (u_op > mat.opacity)
+
+    # --- NEE (one shadow ray per lane) ---------------------------------
+    us = []
+    for _ in range(4):
+        state, u = rng.rand(state)
+        us.append(u)
+    u4 = jnp.stack(us, axis=-1)
+    n_shadow_rays = jnp.uint32(0)
+    do_nee = settings.use_mis and scene.n_lights > 0
+    if do_nee:
+        sh_o, sh_d, sh_dist, nee_contrib, nee_valid = _next_event_estimation(
+            scene, settings, mat, wi_local, normal, g_normal, hit_p,
+            throughput, u4)
+        nee_valid = nee_valid & scatterable & ~pass_through
+        # Trace shadow rays only where needed: deactivate other lanes by
+        # zeroing t_max (their while_loop exits immediately).
+        occluded = traverse2.any_hit(
+            scene.bvh, sh_o, sh_d,
+            jnp.where(nee_valid, sh_dist - 1.0e-4, 0.0))
+        radiance = jnp.where((nee_valid & ~occluded)[..., None],
+                             radiance + nee_contrib, radiance)
+        if with_stats:
+            n_shadow_rays = jnp.sum(nee_valid).astype(jnp.uint32)
+
+    # --- BSDF sample & scatter (cu:430-456) ----------------------------
+    us = []
+    for _ in range(5):
+        state, u = rng.rand(state)
+        us.append(u)
+    u5 = jnp.stack(us, axis=-1)
+    wo_local, sample_thr, sample_pdf, sample_ok = sample_bsdf(
+        mat, wi_local, u5, settings.strict_fresnel_parity)
+    wo_world = normalize(to_world_frame(normal, wo_local))
+
+    # Pass-through lanes keep direction/throughput/lastPdf/mis_origin
+    # (the reference leaves pathState untouched, cu:418-428).
+    new_d = jnp.where(pass_through[..., None], ps.ray_d, wo_world)
+    new_o = offset_ray(
+        hit_p, g_normal * sgne(dot(new_d, normal))[..., None])
+    scattered = scatterable & (pass_through | sample_ok)
+
+    new_throughput = jnp.where(
+        pass_through[..., None], throughput, throughput * sample_thr)
+    new_last_pdf = jnp.where(pass_through, ps.last_pdf, sample_pdf)
+    new_mis_origin = jnp.where(pass_through[..., None], ps.mis_origin, new_o)
+
+    new_ps = _PathState(
+        ray_o=jnp.where(scattered[..., None], new_o, ps.ray_o),
+        ray_d=jnp.where(scattered[..., None], new_d, ps.ray_d),
+        throughput=jnp.where(scattered[..., None], new_throughput,
+                             throughput),
+        radiance=radiance,
+        last_pdf=jnp.where(scattered, new_last_pdf, ps.last_pdf),
+        mis_origin=jnp.where(scattered[..., None], new_mis_origin,
+                             ps.mis_origin),
+        active=scattered,
+        state=state)
+    if with_stats:
+        # Honest ray accounting (SURVEY.md §8.6: the reference's Mrays/s
+        # counts pixels, not rays — ours counts actual trace + shadow
+        # queue occupancy, the wavefront queue-size analog).
+        n_trace = jnp.sum(ps.active).astype(jnp.uint32)
+        return new_ps, (n_trace, n_shadow_rays)
+    return new_ps
+
+
+def render_pixels(scene: SceneData, settings: RenderSettings,
+                  pixel_idx: jnp.ndarray, sample_idx) -> jnp.ndarray:
+    """Trace one path per entry of pixel_idx; returns (R, 3) HDR radiance.
+
+    The shardable unit: pixel_idx may be any subset/shard of the image —
+    the RNG is keyed on (pixel, sample) so results are identical however
+    pixels are partitioned across devices (SURVEY.md §4 shard-equivalence).
+    """
+    n = pixel_idx.shape[0]
+    state = rng.init_state(pixel_idx.astype(jnp.uint32), sample_idx)
+
+    us = []
+    for _ in range(4):
+        state, u = rng.rand(state)
+        us.append(u)
+    ray = generate_rays(scene.camera, pixel_idx.astype(jnp.int32),
+                        jnp.stack(us, axis=-1))
+
+    ps = _PathState(
+        ray_o=ray.origin, ray_d=ray.direction,
+        throughput=jnp.ones((n, 3), jnp.float32),
+        radiance=jnp.zeros((n, 3), jnp.float32),
+        last_pdf=jnp.full((n,), _LAST_PDF_INIT, jnp.float32),
+        mis_origin=ray.origin,
+        active=jnp.ones((n,), bool),
+        state=state)
+
+    def body(ps, bounce_idx):
+        return _bounce(scene, settings, ps, bounce_idx), None
+
+    ps, _ = lax.scan(body, ps, jnp.arange(settings.path_length))
+    return ps.radiance
+
+
+def count_rays(scene: SceneData, settings: RenderSettings,
+               pixel_idx: jnp.ndarray, sample_idx):
+    """Count the trace + shadow rays one sample actually processes.
+
+    Used by the benchmark harness to report real Mrays/s (the wavefront
+    queue-occupancy definition) rather than the reference's
+    pixels-per-second counter (MetricsPanel.cpp:28,35, SURVEY.md §8.6).
+    Returns (n_trace_rays, n_shadow_rays) as uint32 scalars.
+    """
+    n = pixel_idx.shape[0]
+    state = rng.init_state(pixel_idx.astype(jnp.uint32), sample_idx)
+    us = []
+    for _ in range(4):
+        state, u = rng.rand(state)
+        us.append(u)
+    ray = generate_rays(scene.camera, pixel_idx.astype(jnp.int32),
+                        jnp.stack(us, axis=-1))
+    ps = _PathState(
+        ray_o=ray.origin, ray_d=ray.direction,
+        throughput=jnp.ones((n, 3), jnp.float32),
+        radiance=jnp.zeros((n, 3), jnp.float32),
+        last_pdf=jnp.full((n,), _LAST_PDF_INIT, jnp.float32),
+        mis_origin=ray.origin,
+        active=jnp.ones((n,), bool),
+        state=state)
+
+    def body(ps, bounce_idx):
+        return _bounce(scene, settings, ps, bounce_idx, with_stats=True)
+
+    ps, (n_trace, n_shadow) = lax.scan(
+        body, ps, jnp.arange(settings.path_length))
+    return jnp.sum(n_trace), jnp.sum(n_shadow)
+
+
+def render_sample(scene: SceneData, settings: RenderSettings,
+                  sample_idx) -> jnp.ndarray:
+    """Trace one sample per pixel; returns (W*H, 3) HDR radiance."""
+    n_pix = scene.camera.width * scene.camera.height
+    return render_pixels(scene, settings,
+                         jnp.arange(n_pix, dtype=jnp.int32), sample_idx)
+
+
+def render(scene: SceneData, settings: RenderSettings, n_samples: int,
+           sample_offset: int = 0) -> jnp.ndarray:
+    """Progressive-mean accumulation over n_samples (AccumulateKernel
+    semantics, PathTracer.cu:489-492). Returns (H, W, 3) HDR."""
+
+    @jax.jit
+    def one(scene, sample_idx):
+        return render_sample(scene, settings, sample_idx)
+
+    acc = None
+    for s in range(n_samples):
+        r = one(scene, jnp.uint32(sample_offset + s))
+        acc = r if acc is None else acc + (r - acc) / (s + 1)
+    return acc.reshape(scene.camera.height, scene.camera.width, 3)

@@ -1,0 +1,202 @@
+"""Scene: host builder + device pytree.
+
+TPU-native replacement for the reference's scene stack
+(Nexus/src/Scene/Scene.{h,cpp}, Assets/AssetManager.{h,cpp} and the
+D_Scene device mirror, Nexus/src/Cuda/Scene/Scene.cuh:19-36). Instead of
+host objects mirrored into device PODs via ToDevice/DeviceVector
+(Nexus/src/Device/DeviceVector.h), the whole scene IS one pytree of flat
+jnp arrays: upload = jnp.asarray, update = functional replace.
+
+This first-tier scene flattens every instance into world-space triangles
+over a single BVH2 (BASELINE configs 1-2). The TLAS/BLAS instanced path
+(accel/tlas, accel/bvh8) layers on top later without changing this API.
+
+Mesh lights follow the reference's auto-registration semantics
+(Scene.cpp:142-176): every instance whose material is emissive becomes a
+light; NEE samples uniform-light → uniform-triangle → uniform-point with
+pdf = 1/(lightCount · triCount · triArea) (PathTracer.cu:272-274 — the
+deliberate quirk of uniform (not area-weighted) triangle selection,
+SURVEY.md §8.7).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import flax.struct
+import jax.numpy as jnp
+import numpy as np
+
+from nexus_tpu.accel import bvh2 as bvh2_mod
+from nexus_tpu.accel.traverse2 import BVH2Arrays, device_arrays
+from nexus_tpu.scene.camera import Camera, make_camera
+from nexus_tpu.scene.materials import MaterialBuilder, Materials
+
+
+@flax.struct.dataclass
+class SceneData:
+    """Complete device scene (D_Scene analog) — one jittable pytree."""
+    bvh: BVH2Arrays          # traversal arrays + world-space v0/v1/v2
+    # Per-triangle shading attributes, indexed by global triangle id:
+    n0: jnp.ndarray          # (N, 3) vertex normals
+    n1: jnp.ndarray
+    n2: jnp.ndarray
+    uv0: jnp.ndarray         # (N, 2) texture coords
+    uv1: jnp.ndarray
+    uv2: jnp.ndarray
+    tri_mat: jnp.ndarray     # (N,) int32 material id
+    tri_inst: jnp.ndarray    # (N,) int32 owning instance id (pixel query)
+    inst_ntris: jnp.ndarray  # (I,) int32 triangles per instance (MIS pdf)
+    materials: Materials
+    # Mesh lights (flattened): light l owns light_tris[start[l]:start[l]+ntris[l]]
+    light_start: jnp.ndarray  # (L,) int32
+    light_ntris: jnp.ndarray  # (L,) int32
+    light_tris: jnp.ndarray   # (LT,) int32 global triangle ids
+    camera: Camera
+    background_color: jnp.ndarray      # (3,)
+    background_intensity: jnp.ndarray  # ()
+    # Static (non-pytree) metadata: real light count (the arrays above are
+    # padded to >=1 for well-formed gathers; n_lights is the truth).
+    n_lights: int = flax.struct.field(pytree_node=False, default=0)
+
+    @property
+    def tri_count(self) -> int:
+        return self.tri_mat.shape[0]
+
+
+@dataclasses.dataclass
+class _Instance:
+    name: str
+    tri_start: int
+    tri_count: int
+    material_id: int
+
+
+class SceneBuilder:
+    """Host-side scene assembly (Scene + AssetManager analog).
+
+    add_mesh flattens (vertices, faces) through `transform` into world
+    space immediately — the single-BVH equivalent of
+    BVHInstance::SetTransform (BVHInstance.cpp:4-29).
+    """
+
+    def __init__(self):
+        self.materials = MaterialBuilder()
+        self._v0, self._v1, self._v2 = [], [], []
+        self._n0, self._n1, self._n2 = [], [], []
+        self._uv0, self._uv1, self._uv2 = [], [], []
+        self._mat, self._inst = [], []
+        self.instances: list[_Instance] = []
+        self.camera = None
+        self.background_color = (0.0, 0.0, 0.0)
+        self.background_intensity = 1.0
+
+    def add_material(self, **kw) -> int:
+        return self.materials.add(**kw)
+
+    def add_mesh(self, vertices: np.ndarray, faces: np.ndarray,
+                 material_id: int, transform: np.ndarray | None = None,
+                 normals: np.ndarray | None = None,
+                 uvs: np.ndarray | None = None, name: str = "mesh") -> int:
+        """Add an instance. vertices (V,3) float, faces (F,3) int.
+
+        normals/uvs are per-vertex ((V,3)/(V,2)) and optional: missing
+        normals fall back to geometric face normals (the reference
+        imports normals from assimp; OBJLoader.cpp:28-44).
+        """
+        vertices = np.asarray(vertices, np.float32)
+        faces = np.asarray(faces, np.int64)
+        if transform is not None:
+            m = np.asarray(transform, np.float32)
+            vertices = vertices @ m[:3, :3].T + m[:3, 3]
+            if normals is not None:
+                # Normals transform by inverse-transpose (PathTracer.cu:345).
+                n_mat = np.linalg.inv(m[:3, :3]).T
+                normals = np.asarray(normals, np.float32) @ n_mat.T
+
+        v0 = vertices[faces[:, 0]]
+        v1 = vertices[faces[:, 1]]
+        v2 = vertices[faces[:, 2]]
+        if normals is None:
+            gn = np.cross(v1 - v0, v2 - v0)
+            norm = np.linalg.norm(gn, axis=-1, keepdims=True)
+            gn = gn / np.maximum(norm, 1e-20)
+            n0 = n1 = n2 = gn.astype(np.float32)
+        else:
+            normals = np.asarray(normals, np.float32)
+            norm = np.linalg.norm(normals, axis=-1, keepdims=True)
+            normals = normals / np.maximum(norm, 1e-20)
+            n0, n1, n2 = (normals[faces[:, k]] for k in range(3))
+        if uvs is None:
+            uv0 = uv1 = uv2 = np.zeros((faces.shape[0], 2), np.float32)
+        else:
+            uvs = np.asarray(uvs, np.float32)
+            uv0, uv1, uv2 = (uvs[faces[:, k]] for k in range(3))
+
+        inst_id = len(self.instances)
+        start = sum(i.tri_count for i in self.instances)
+        self.instances.append(
+            _Instance(name=name, tri_start=start, tri_count=faces.shape[0],
+                      material_id=material_id))
+        self._v0.append(v0); self._v1.append(v1); self._v2.append(v2)
+        self._n0.append(n0); self._n1.append(n1); self._n2.append(n2)
+        self._uv0.append(uv0); self._uv1.append(uv1); self._uv2.append(uv2)
+        self._mat.append(np.full(faces.shape[0], material_id, np.int32))
+        self._inst.append(np.full(faces.shape[0], inst_id, np.int32))
+        return inst_id
+
+    def set_camera(self, **kw):
+        self.camera = make_camera(**kw)
+
+    def build(self, leaf_size: int = 4) -> SceneData:
+        assert self._v0, "scene has no geometry"
+        v0 = np.concatenate(self._v0)
+        v1 = np.concatenate(self._v1)
+        v2 = np.concatenate(self._v2)
+        tri_mat = np.concatenate(self._mat)
+        tri_inst = np.concatenate(self._inst)
+        materials = self.materials.build()
+
+        bvh = bvh2_mod.build(v0, v1, v2, leaf_size=leaf_size)
+        bvh_arrays = device_arrays(bvh, v0, v1, v2)
+
+        # Mesh lights: one light per emissive instance (Scene.cpp:142-176).
+        emissive = np.asarray(
+            np.max(np.asarray(materials.emission), axis=-1)
+            * np.asarray(materials.intensity) > 0.0)
+        starts, ntris, light_tris = [], [], []
+        for inst in self.instances:
+            if emissive[inst.material_id]:
+                starts.append(len(light_tris))
+                ntris.append(inst.tri_count)
+                light_tris.extend(
+                    range(inst.tri_start, inst.tri_start + inst.tri_count))
+        n_lights = len(starts)
+        if not starts:
+            # Pad to >=1 so gathers are well-formed; n_lights records truth
+            # and the integrator skips NEE statically when it is 0.
+            starts, ntris, light_tris = [0], [0], [0]
+
+        camera = self.camera or make_camera(
+            position=(0.0, 0.0, 2.0), look_at=(0.0, 0.0, 0.0))
+
+        return SceneData(
+            bvh=bvh_arrays,
+            n0=jnp.asarray(np.concatenate(self._n0)),
+            n1=jnp.asarray(np.concatenate(self._n1)),
+            n2=jnp.asarray(np.concatenate(self._n2)),
+            uv0=jnp.asarray(np.concatenate(self._uv0)),
+            uv1=jnp.asarray(np.concatenate(self._uv1)),
+            uv2=jnp.asarray(np.concatenate(self._uv2)),
+            tri_mat=jnp.asarray(tri_mat), tri_inst=jnp.asarray(tri_inst),
+            inst_ntris=jnp.asarray(
+                [i.tri_count for i in self.instances], jnp.int32),
+            materials=materials,
+            light_start=jnp.asarray(starts, jnp.int32),
+            light_ntris=jnp.asarray(ntris, jnp.int32),
+            light_tris=jnp.asarray(light_tris, jnp.int32),
+            camera=camera,
+            background_color=jnp.asarray(self.background_color, jnp.float32),
+            background_intensity=jnp.asarray(self.background_intensity,
+                                             jnp.float32),
+            n_lights=n_lights)
