@@ -28,16 +28,45 @@ def add_model(builder: SceneBuilder, path: str | Path) -> list[int]:
     raise ValueError(f"unsupported model format: {suffix}")
 
 
+def _decode_image_srgb(raw: bytes) -> np.ndarray:
+    """Decode PNG/JPEG bytes → (H, W, 4) float32, sRGB→linear RGB.
+
+    Matches the texture read path (Texture.cpp:30: sRGB hardware decode,
+    normalized float); alpha stays linear.
+    """
+    import io as _io
+
+    from PIL import Image
+
+    img = np.array(Image.open(_io.BytesIO(raw)).convert("RGBA"),
+                   np.float32) / 255.0
+    img[..., :3] = np.power(img[..., :3], 2.2)
+    return img
+
+
 def _add_gltf(builder: SceneBuilder, path: Path) -> list[int]:
     from nexus_tpu.io import gltf
 
     doc = gltf.load(path)
+    # Decode + register only the images that materials reference.
+    img_tex_id: dict[int, int] = {}
+
+    def tex_id(image_idx: int) -> int:
+        if image_idx < 0:
+            return -1
+        if image_idx not in img_tex_id:
+            img_tex_id[image_idx] = builder.add_texture(
+                _decode_image_srgb(doc.images[image_idx]))
+        return img_tex_id[image_idx]
+
     mat_ids = []
     for m in doc.materials:
         mat_ids.append(builder.add_material(
             mtype=m.mtype, albedo=m.albedo, roughness=m.roughness,
             ior=m.ior, emission=m.emission, intensity=m.intensity,
-            opacity=m.opacity))
+            opacity=m.opacity,
+            diffuse_map=tex_id(m.base_color_image),
+            emissive_map=tex_id(m.emissive_image)))
     inst_ids = []
     for inst in doc.instances:
         for k, prim in enumerate(inst.primitives):
@@ -47,6 +76,35 @@ def _add_gltf(builder: SceneBuilder, path: Path) -> list[int]:
                 transform=inst.transform, normals=prim.normals,
                 uvs=prim.uvs, name=f"{inst.name}/{k}"))
     return inst_ids
+
+
+def load_env_map(builder: SceneBuilder, path: str | Path,
+                 parity_ldr: bool = False):
+    """Load an environment map into the scene (Scene::AddHDRMap analog).
+
+    .hdr files decode as true float RGBE radiance. parity_ldr reproduces
+    the reference's quirk of pushing .hdr through the 8-bit sRGB loader
+    (Scene.cpp:95 → IMGLoader.cpp:17, SURVEY.md §8.3) — clamped
+    highlights — for comparisons against reference renders. LDR formats
+    (png/jpg) are sRGB-decoded to linear.
+    """
+    path = Path(path)
+    if path.suffix.lower() == ".hdr" and not parity_ldr:
+        from nexus_tpu.io.hdr import read_hdr
+
+        builder.set_env_map(read_hdr(path))
+        return
+    if path.suffix.lower() == ".hdr":
+        # LDR-parity: decode real HDR, then clamp+quantize like an 8-bit
+        # sRGB texture would have stored it.
+        from nexus_tpu.io.hdr import read_hdr
+
+        rgb = np.clip(read_hdr(path), 0.0, 1.0)
+        srgb = np.round(np.power(rgb, 1.0 / 2.2) * 255.0) / 255.0
+        builder.set_env_map(np.power(srgb, 2.2).astype(np.float32))
+        return
+    raw = path.read_bytes()
+    builder.set_env_map(_decode_image_srgb(raw)[..., :3])
 
 
 def _add_obj(builder: SceneBuilder, path: Path) -> list[int]:

@@ -48,6 +48,7 @@ from nexus_tpu.core.sampling import (is_pdf_valid, power_heuristic,
                                      uniform_index, uniform_triangle)
 from nexus_tpu.geom import triangle as tri_mod
 from nexus_tpu.geom.types import MISS_DISTANCE
+from nexus_tpu.scene import textures
 from nexus_tpu.scene.camera import generate_rays
 from nexus_tpu.scene.materials import DIELECTRIC
 from nexus_tpu.scene.scene import SceneData
@@ -69,10 +70,14 @@ class _PathState:
 
 
 def _sample_background(scene: SceneData, direction: jnp.ndarray) -> jnp.ndarray:
-    """Flat background color (HDR equirect env maps plug in here later).
+    """HDR equirect env map or flat background color.
 
-    Matches SampleBackground's no-HDR branch (PathTracer.cu:64-83).
+    Matches SampleBackground (PathTracer.cu:64-83) — except our env maps
+    are true float HDR (the reference routes .hdr through its 8-bit LDR
+    loader, SURVEY.md §8.3; parity mode lives in io/loader).
     """
+    if scene.has_env:
+        return textures.sample_equirect(scene.env_map, direction)
     return scene.background_color * scene.background_intensity
 
 
@@ -130,7 +135,14 @@ def _next_event_estimation(scene: SceneData, settings: RenderSettings,
     weight = power_heuristic(light_pdf, bsdf_pdf)
 
     light_mat = scene.materials.take(scene.tri_mat[tri_id])
-    emissive = light_mat.emission * light_mat.intensity[..., None]
+    # Emissive texture at the sampled light point (PathTracer.cu:295-301).
+    light_uv = barycentric(scene.uv0[tri_id], scene.uv1[tri_id],
+                           scene.uv2[tri_id], uv)
+    emis_tex = textures.sample(scene.textures, light_mat.emissive_map,
+                               light_uv)
+    emission = jnp.where((light_mat.emissive_map >= 0)[..., None],
+                         emis_tex[..., :3], light_mat.emission)
+    emissive = emission * light_mat.intensity[..., None]
 
     contrib = weight[..., None] * throughput * eval_thr * emissive \
         / jnp.maximum(light_pdf, 1.0e-20)[..., None]
@@ -173,6 +185,18 @@ def _bounce(scene: SceneData, settings: RenderSettings, ps: _PathState,
     g_normal = normalize(tri_mod.geometric_normal(v0, v1, v2))
     mat = scene.materials.take(scene.tri_mat[tri_id])
 
+    # --- Texture fetches (PathTracer.cu:347-351, 400-405) --------------
+    tex_uv = barycentric(scene.uv0[tri_id], scene.uv1[tri_id],
+                         scene.uv2[tri_id], uv)
+    diffuse_tex = textures.sample(scene.textures, mat.diffuse_map, tex_uv)
+    has_dmap = mat.diffuse_map >= 0
+    # The reference REPLACES albedo with the texture color (cu:404).
+    mat = mat.replace(albedo=jnp.where(
+        has_dmap[..., None], diffuse_tex[..., :3], mat.albedo))
+    emis_tex = textures.sample(scene.textures, mat.emissive_map, tex_uv)
+    mat = mat.replace(emission=jnp.where(
+        (mat.emissive_map >= 0)[..., None], emis_tex[..., :3], mat.emission))
+
     # --- Emissive hit w/ MIS (PathTracer.cu:357-390) -------------------
     emissive = mat.emission * mat.intensity[..., None]
     is_emitter = jnp.max(emissive, axis=-1) > 0.0
@@ -200,10 +224,12 @@ def _bounce(scene: SceneData, settings: RenderSettings, ps: _PathState,
 
     wi_local = to_local_frame(normal, -ps.ray_d)
 
-    # --- Opacity pass-through (cu:418-428); alpha maps join later ------
+    # --- Opacity / texture-alpha pass-through (cu:418-428) -------------
     state, u_op = rng.rand(state)
-    state, _u_alpha = rng.rand(state)  # reserved: texture alpha slot
-    pass_through = scatterable & (u_op > mat.opacity)
+    state, u_alpha = rng.rand(state)
+    pass_through = scatterable & (
+        (u_op > mat.opacity)
+        | (has_dmap & (u_alpha > diffuse_tex[..., 3])))
 
     # --- NEE (one shadow ray per lane) ---------------------------------
     us = []

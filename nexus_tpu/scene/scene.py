@@ -31,6 +31,7 @@ from nexus_tpu.accel import bvh2 as bvh2_mod
 from nexus_tpu.accel.traverse2 import BVH2Arrays, device_arrays
 from nexus_tpu.scene.camera import Camera, make_camera
 from nexus_tpu.scene.materials import MaterialBuilder, Materials
+from nexus_tpu.scene.textures import TextureAtlas, build_atlas
 
 
 @flax.struct.dataclass
@@ -53,11 +54,14 @@ class SceneData:
     light_ntris: jnp.ndarray  # (L,) int32
     light_tris: jnp.ndarray   # (LT,) int32 global triangle ids
     camera: Camera
+    textures: TextureAtlas
+    env_map: jnp.ndarray               # (He, We, 3) float32 radiance
     background_color: jnp.ndarray      # (3,)
     background_intensity: jnp.ndarray  # ()
     # Static (non-pytree) metadata: real light count (the arrays above are
     # padded to >=1 for well-formed gathers; n_lights is the truth).
     n_lights: int = flax.struct.field(pytree_node=False, default=0)
+    has_env: bool = flax.struct.field(pytree_node=False, default=False)
 
     @property
     def tri_count(self) -> int:
@@ -90,9 +94,27 @@ class SceneBuilder:
         self.camera = None
         self.background_color = (0.0, 0.0, 0.0)
         self.background_intensity = 1.0
+        self._textures: list[np.ndarray] = []
+        self._env_map: np.ndarray | None = None
 
     def add_material(self, **kw) -> int:
         return self.materials.add(**kw)
+
+    def add_texture(self, image: np.ndarray) -> int:
+        """Register an (H, W, 4) float32 LINEAR-space texture; returns id.
+
+        (AssetManager::AddTexture analog, AssetManager.cpp:69-96; sRGB
+        decode happens in the loader, textures stored linear.)
+        """
+        image = np.asarray(image, np.float32)
+        assert image.ndim == 3 and image.shape[-1] == 4, image.shape
+        self._textures.append(image)
+        return len(self._textures) - 1
+
+    def set_env_map(self, rgb: np.ndarray):
+        """Set the equirect HDR environment (Scene::AddHDRMap analog,
+        Scene.cpp:93-100)."""
+        self._env_map = np.asarray(rgb, np.float32)
 
     def add_mesh(self, vertices: np.ndarray, faces: np.ndarray,
                  material_id: int, transform: np.ndarray | None = None,
@@ -196,7 +218,12 @@ class SceneBuilder:
             light_ntris=jnp.asarray(ntris, jnp.int32),
             light_tris=jnp.asarray(light_tris, jnp.int32),
             camera=camera,
+            textures=build_atlas(self._textures),
+            env_map=jnp.asarray(
+                self._env_map if self._env_map is not None
+                else np.zeros((1, 1, 3), np.float32)),
             background_color=jnp.asarray(self.background_color, jnp.float32),
             background_intensity=jnp.asarray(self.background_intensity,
                                              jnp.float32),
-            n_lights=n_lights)
+            n_lights=n_lights,
+            has_env=self._env_map is not None)

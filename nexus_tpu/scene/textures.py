@@ -1,0 +1,119 @@
+"""Texture atlas + differentiable bilinear sampling.
+
+TPU-native replacement for the reference's cudaTextureObject path
+(Nexus/src/Assets/Texture.cpp:10-39: RGBA8, sRGB decode, wrap addressing,
+bilinear filter, normalized float reads). Hardware texture units don't
+exist on TPU; instead all textures live in ONE padded (T, H, W, 4)
+float32 array ("atlas") and sampling is an explicit gather+lerp — fully
+differentiable, so texture texels are first-class gradient targets
+(inverse texture recovery).
+
+sRGB→linear happens at load time (io/loader), not at sample time: texels
+are stored linear, matching what the GPU's sRGB read returns.
+
+Addressing matches cudaAddressModeWrap (repeat) + linear filter with
+texel centers at half-integer coordinates (CUDA's convention).
+"""
+
+from __future__ import annotations
+
+import flax.struct
+import jax.numpy as jnp
+import numpy as np
+
+
+@flax.struct.dataclass
+class TextureAtlas:
+    data: jnp.ndarray   # (T, H, W, 4) float32, padded to max dims
+    size: jnp.ndarray   # (T, 2) int32 — (height, width) per texture
+
+    @property
+    def count(self) -> int:
+        return self.data.shape[0]
+
+
+def build_atlas(images: list) -> TextureAtlas:
+    """Pack (H_i, W_i, 4) float32 arrays into one padded atlas.
+
+    Always returns a non-empty atlas (a 1×1 white texel when no textures
+    exist) so sampling code needs no empty-case branches.
+    """
+    if not images:
+        images = [np.ones((1, 1, 4), np.float32)]
+    h = max(im.shape[0] for im in images)
+    w = max(im.shape[1] for im in images)
+    data = np.zeros((len(images), h, w, 4), np.float32)
+    size = np.zeros((len(images), 2), np.int32)
+    for i, im in enumerate(images):
+        data[i, :im.shape[0], :im.shape[1]] = im
+        size[i] = (im.shape[0], im.shape[1])
+    return TextureAtlas(data=jnp.asarray(data), size=jnp.asarray(size))
+
+
+def sample(atlas: TextureAtlas, tex_id: jnp.ndarray,
+           uv: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear wrap-mode sample. tex_id (...,) int32, uv (..., 2).
+
+    tex_id < 0 returns opaque white (the no-texture identity — callers
+    multiply or select). Returns (..., 4) RGBA.
+    """
+    tid = jnp.maximum(tex_id, 0)
+    hw = atlas.size[tid].astype(jnp.float32)       # (..., 2) = (h, w)
+    h, w = hw[..., 0], hw[..., 1]
+
+    # CUDA linear filtering: sample point at uv*size - 0.5, texel centers
+    # on integers after the shift.
+    x = uv[..., 0] * w - 0.5
+    y = uv[..., 1] * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+
+    def wrap(i, n):
+        return jnp.mod(i.astype(jnp.int32), jnp.maximum(n.astype(jnp.int32), 1))
+
+    x0i, x1i = wrap(x0, w), wrap(x0 + 1, w)
+    y0i, y1i = wrap(y0, h), wrap(y0 + 1, h)
+
+    c00 = atlas.data[tid, y0i, x0i]
+    c10 = atlas.data[tid, y0i, x1i]
+    c01 = atlas.data[tid, y1i, x0i]
+    c11 = atlas.data[tid, y1i, x1i]
+    col = (c00 * (1 - fx) * (1 - fy) + c10 * fx * (1 - fy)
+           + c01 * (1 - fx) * fy + c11 * fx * fy)
+
+    white = jnp.ones_like(col)
+    return jnp.where((tex_id < 0)[..., None], white, col)
+
+
+def sample_equirect(env: jnp.ndarray, direction: jnp.ndarray) -> jnp.ndarray:
+    """Equirectangular environment lookup (SampleBackground,
+    Nexus/src/Cuda/PathTracer/PathTracer.cu:64-83):
+    u = (atan2(z, x) + π) / 2π,  v = 1 − (asin(y) + π/2) / π.
+    env: (H, W, 3) float32 radiance; direction unit (..., 3).
+    """
+    h, w = env.shape[0], env.shape[1]
+    theta = jnp.arctan2(direction[..., 2], direction[..., 0])
+    phi = jnp.arcsin(jnp.clip(direction[..., 1], -1.0, 1.0))
+    u = (theta + jnp.pi) / (2.0 * jnp.pi)
+    v = 1.0 - (phi + jnp.pi * 0.5) / jnp.pi
+
+    x = u * w - 0.5
+    y = v * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0i = jnp.mod(x0.astype(jnp.int32), w)
+    x1i = jnp.mod(x0.astype(jnp.int32) + 1, w)
+    # Clamp v (poles shouldn't wrap to the opposite pole).
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    y1i = jnp.clip(y0.astype(jnp.int32) + 1, 0, h - 1)
+
+    c00 = env[y0i, x0i]
+    c10 = env[y0i, x1i]
+    c01 = env[y1i, x0i]
+    c11 = env[y1i, x1i]
+    return (c00 * (1 - fx) * (1 - fy) + c10 * fx * (1 - fy)
+            + c01 * (1 - fx) * fy + c11 * fx * fy)
