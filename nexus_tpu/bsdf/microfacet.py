@@ -102,7 +102,9 @@ def sample_half_vector(alpha: jnp.ndarray, u1: jnp.ndarray,
     tan_sq = -(alpha * alpha) * jnp.log(jnp.maximum(1.0 - u1, 1.0e-20))
     phi = 2.0 * jnp.pi * u2
     cos_t = 1.0 / jnp.sqrt(1.0 + tan_sq)
-    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+    # Positive floor: sqrt(0) at u1=0 (tan_sq=0) has an infinite VJP that
+    # NaN-poisons reverse mode even on masked lanes; sin ~ 1e-6 error.
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 1.0e-12))
     m = jnp.stack([sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), cos_t], axis=-1)
     n2 = jnp.sum(m * m, axis=-1, keepdims=True)
     return m / jnp.sqrt(jnp.maximum(n2, 1.0e-24))

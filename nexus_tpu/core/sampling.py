@@ -22,14 +22,25 @@ def is_pdf_valid(pdf: jnp.ndarray) -> jnp.ndarray:
     return jnp.isfinite(pdf) & (pdf > PDF_EPS)
 
 
+_RATIO_MAX = 1.0e18  # ratio² stays below f32 max; past it w ≈ 0 anyway
+
+
 def balance_heuristic(pdf1: jnp.ndarray, pdf2: jnp.ndarray) -> jnp.ndarray:
-    return pdf1 / (pdf1 + pdf2)
+    """pdf1 / (pdf1 + pdf2) in overflow-safe ratio form."""
+    r = jnp.clip(pdf2 / jnp.maximum(pdf1, 1.0e-20), 0.0, _RATIO_MAX)
+    return 1.0 / (1.0 + r)
 
 
 def power_heuristic(pdf1: jnp.ndarray, pdf2: jnp.ndarray) -> jnp.ndarray:
-    """Veach power heuristic, beta=2 (Sampler.cuh:22-25)."""
-    p1 = pdf1 * pdf1
-    return p1 / (p1 + pdf2 * pdf2)
+    """Veach power heuristic, beta=2 (Sampler.cuh:22-25).
+
+    Computed as 1/(1 + (pdf2/pdf1)²) with a clamped ratio: the naive
+    p1²/(p1²+p2²) overflows f32 for large pdfs (e.g. the near-delta
+    lastPdf init of 1e10, or garbage-lane solid-angle pdfs) and its VJP
+    then produces inf/inf = NaN even under a zero cotangent.
+    """
+    r = jnp.clip(pdf2 / jnp.maximum(pdf1, 1.0e-20), 0.0, _RATIO_MAX)
+    return 1.0 / (1.0 + r * r)
 
 
 def cosine_hemisphere(u1: jnp.ndarray, u2: jnp.ndarray) -> jnp.ndarray:

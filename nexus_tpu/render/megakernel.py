@@ -165,10 +165,20 @@ def _bounce(scene: SceneData, settings: RenderSettings, ps: _PathState,
                          ps.radiance + ps.throughput * bg, ps.radiance)
 
     # --- Russian roulette (PathTracer.cu:166-175; clamp per §8.4) ------
+    # p is DETACHED: dividing by a differentiable p = max(throughput)
+    # cancels the parameter dependence of throughput in AD (the gradient
+    # then lives only in the discrete survival decision, which AD treats
+    # as fixed — silently zeroing material gradients). With p detached,
+    # the AD estimator of dE[radiance]/dθ stays unbiased.
     state, u_rr = rng.rand(ps.state)
-    p_survive = jnp.clip(jnp.max(ps.throughput, axis=-1), 0.0, 1.0)
+    p_survive = jax.lax.stop_gradient(
+        jnp.clip(jnp.max(ps.throughput, axis=-1), 0.0, 1.0))
     first_bounce = bounce_idx == 0
-    p_survive = jnp.where(first_bounce, 1.0, p_survive)
+    # rr_start_bounce: RR disabled before this bounce (reference starts at
+    # 1, i.e. immediately after the first hit; set >= path_length to turn
+    # RR off entirely, e.g. for FD gradient checks).
+    p_survive = jnp.where(bounce_idx < settings.rr_start_bounce,
+                          1.0, p_survive)
     survive = u_rr < p_survive
     throughput = ps.throughput / jnp.maximum(p_survive, 1.0e-8)[..., None]
     active = ps.active & hit & survive
