@@ -65,11 +65,30 @@ def build(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
     force_leaf_one replicates the reference's collapse-feeding mode
     (leaf = 1 triangle, SAH cutoff disabled — BVH.cpp:74-76, 86-88).
     """
-    n = v0.shape[0]
-    assert n > 0, "empty triangle set"
     tri_min = np.minimum(np.minimum(v0, v1), v2).astype(np.float32)
     tri_max = np.maximum(np.maximum(v0, v1), v2).astype(np.float32)
     cent = ((v0 + v1 + v2) / 3.0).astype(np.float32)
+    return build_from_aabbs(tri_min, tri_max, cent, leaf_size=leaf_size,
+                            force_leaf_one=force_leaf_one)
+
+
+def build_from_aabbs(tri_min: np.ndarray, tri_max: np.ndarray,
+                     cent: np.ndarray, leaf_size: int = 4,
+                     force_leaf_one: bool = False) -> BVH2:
+    """Binned-SAH BVH2 over arbitrary primitive AABBs.
+
+    Primitive-agnostic core of :func:`build`: the TLAS builder feeds it
+    world-space *instance* bounds (the reference builds its TLAS over
+    instance AABBs too, Nexus/src/Geometry/BVH/TLAS.cpp:13-91 — it uses
+    agglomerative pairing there; we reuse the same binned SAH as the
+    triangle BVH, which produces equal-or-better SAH trees and shares
+    this tested code path).
+    """
+    n = tri_min.shape[0]
+    assert n > 0, "empty primitive set"
+    tri_min = np.asarray(tri_min, np.float32)
+    tri_max = np.asarray(tri_max, np.float32)
+    cent = np.asarray(cent, np.float32)
 
     if force_leaf_one:
         leaf_size = 1

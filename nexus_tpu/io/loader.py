@@ -78,6 +78,69 @@ def _add_gltf(builder: SceneBuilder, path: Path) -> list[int]:
     return inst_ids
 
 
+def add_model_instanced(builder: SceneBuilder, path: str | Path) -> list[int]:
+    """Load a model as shared mesh ASSETS + placed INSTANCES.
+
+    The TLAS/BLAS path (Scene::CreateMeshInstanceFromFile +
+    AssetManager::CreateBVH, Scene.cpp:83-91, AssetManager.cpp:23-37):
+    nodes referencing the same mesh share one BLAS; each node becomes a
+    BVHInstance with its own transform. Use builder.build_instanced().
+    Returns created instance ids.
+    """
+    path = Path(path)
+    suffix = path.suffix.lower()
+    if suffix in (".glb", ".gltf"):
+        from nexus_tpu.io import gltf
+
+        doc = gltf.load(path)
+        img_tex_id: dict[int, int] = {}
+
+        def tex_id(image_idx: int) -> int:
+            if image_idx < 0:
+                return -1
+            if image_idx not in img_tex_id:
+                img_tex_id[image_idx] = builder.add_texture(
+                    _decode_image_srgb(doc.images[image_idx]))
+            return img_tex_id[image_idx]
+
+        mat_ids = []
+        for m in doc.materials:
+            mat_ids.append(builder.add_material(
+                mtype=m.mtype, albedo=m.albedo, roughness=m.roughness,
+                ior=m.ior, emission=m.emission, intensity=m.intensity,
+                opacity=m.opacity,
+                diffuse_map=tex_id(m.base_color_image),
+                emissive_map=tex_id(m.emissive_image)))
+        # One asset per UNIQUE primitive (nodes sharing a mesh share its
+        # primitive objects — dedupe by identity).
+        asset_of_prim: dict[int, int] = {}
+        inst_ids = []
+        for inst in doc.instances:
+            for k, prim in enumerate(inst.primitives):
+                if id(prim) not in asset_of_prim:
+                    asset_of_prim[id(prim)] = builder.add_mesh_asset(
+                        vertices=prim.positions, faces=prim.faces,
+                        normals=prim.normals, uvs=prim.uvs,
+                        name=f"{inst.name}/{k}")
+                inst_ids.append(builder.add_instance(
+                    asset_of_prim[id(prim)],
+                    material_id=mat_ids[prim.material],
+                    transform=inst.transform,
+                    name=f"{inst.name}/{k}"))
+        return inst_ids
+    if suffix == ".obj":
+        from nexus_tpu.io import obj
+
+        mesh = obj.load(path)
+        mat_id = builder.add_material()
+        asset = builder.add_mesh_asset(
+            vertices=mesh.positions, faces=mesh.faces,
+            normals=mesh.normals, uvs=mesh.uvs, name=path.stem)
+        return [builder.add_instance(asset, material_id=mat_id,
+                                     name=path.stem)]
+    raise ValueError(f"unsupported model format: {suffix}")
+
+
 def load_env_map(builder: SceneBuilder, path: str | Path,
                  parity_ldr: bool = False):
     """Load an environment map into the scene (Scene::AddHDRMap analog).

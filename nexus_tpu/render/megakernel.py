@@ -37,7 +37,6 @@ from jax import lax
 
 import flax.struct
 
-from nexus_tpu.accel import traverse2
 from nexus_tpu.bsdf.dispatch import eval_bsdf, sample_bsdf
 from nexus_tpu.core import rng
 from nexus_tpu.core.config import RenderSettings
@@ -48,7 +47,7 @@ from nexus_tpu.core.sampling import (is_pdf_valid, power_heuristic,
                                      uniform_index, uniform_triangle)
 from nexus_tpu.geom import triangle as tri_mod
 from nexus_tpu.geom.types import MISS_DISTANCE
-from nexus_tpu.scene import textures
+from nexus_tpu.scene import textures, view
 from nexus_tpu.scene.camera import generate_rays
 from nexus_tpu.scene.materials import DIELECTRIC
 from nexus_tpu.scene.scene import SceneData
@@ -81,11 +80,11 @@ def _sample_background(scene: SceneData, direction: jnp.ndarray) -> jnp.ndarray:
     return scene.background_color * scene.background_intensity
 
 
-def _light_pdf_area(scene: SceneData, tri_id: jnp.ndarray,
+def _light_pdf_area(scene: SceneData, wv0, wv1, wv2,
                     n_tris_of_owner: jnp.ndarray) -> jnp.ndarray:
-    """1 / (lightCount * triCount * area) (PathTracer.cu:272-274, §8.7)."""
-    area = tri_mod.area(scene.bvh.v0[tri_id], scene.bvh.v1[tri_id],
-                        scene.bvh.v2[tri_id])
+    """1 / (lightCount * triCount * worldArea) over WORLD-space verts
+    (PathTracer.cu:367-375 — triangleTransformed.Area(), §8.7)."""
+    area = tri_mod.area(wv0, wv1, wv2)
     denom = (jnp.float32(max(scene.n_lights, 1))
              * n_tris_of_owner.astype(jnp.float32) * area)
     return 1.0 / jnp.maximum(denom, 1.0e-20)
@@ -102,15 +101,15 @@ def _next_event_estimation(scene: SceneData, settings: RenderSettings,
     ntris = scene.light_ntris[light_id]
     k = uniform_index(u4[..., 1], ntris)
     tri_id = scene.light_tris[scene.light_start[light_id] + k]
+    light_owner = (scene.light_inst[light_id] if scene.is_instanced
+                   else jnp.zeros_like(light_id))
 
     uv = uniform_triangle(u4[..., 2], u4[..., 3])
-    lv0 = scene.bvh.v0[tri_id]
-    lv1 = scene.bvh.v1[tri_id]
-    lv2 = scene.bvh.v2[tri_id]
+    lv0, lv1, lv2 = view.tri_world_verts(scene, tri_id, light_owner)
     p_light = barycentric(lv0, lv1, lv2, uv)
     light_gn = normalize(tri_mod.geometric_normal(lv0, lv1, lv2))
-    light_n = normalize(barycentric(
-        scene.n0[tri_id], scene.n1[tri_id], scene.n2[tri_id], uv))
+    ln0, ln1, ln2 = view.tri_world_normals(scene, tri_id, light_owner)
+    light_n = normalize(barycentric(ln0, ln1, ln2, uv))
 
     # Offset both endpoints along their geometric normals
     # (PathTracer.cu:251-259).
@@ -126,7 +125,7 @@ def _next_event_estimation(scene: SceneData, settings: RenderSettings,
     cos_theta_o = jnp.abs(dot(light_n, shadow_d))
     d_sq = dot(to_light, to_light)
 
-    light_pdf = _light_pdf_area(scene, tri_id, ntris) \
+    light_pdf = _light_pdf_area(scene, lv0, lv1, lv2, ntris) \
         * d_sq / jnp.maximum(cos_theta_o, 1.0e-8)
     pdf_ok = is_pdf_valid(light_pdf)
 
@@ -134,7 +133,8 @@ def _next_event_estimation(scene: SceneData, settings: RenderSettings,
         mat, wi_local, wo_local, settings.strict_fresnel_parity)
     weight = power_heuristic(light_pdf, bsdf_pdf)
 
-    light_mat = scene.materials.take(scene.tri_mat[tri_id])
+    light_mat = scene.materials.take(
+        view.material_id(scene, tri_id, light_owner))
     # Emissive texture at the sampled light point (PathTracer.cu:295-301).
     light_uv = barycentric(scene.uv0[tri_id], scene.uv1[tri_id],
                            scene.uv2[tri_id], uv)
@@ -155,7 +155,7 @@ def _bounce(scene: SceneData, settings: RenderSettings, ps: _PathState,
             bounce_idx: jnp.ndarray, with_stats: bool = False):
     """One wavefront bounce over all lanes (LogicKernel + Shade + NEE)."""
     # --- Trace (closest hit) -------------------------------------------
-    isect = traverse2.closest_hit(scene.bvh, ps.ray_o, ps.ray_d)
+    isect = view.closest_hit(scene, ps.ray_o, ps.ray_d)
     hit = isect.t < MISS_DISTANCE
 
     # --- Miss: background (PathTracer.cu:151-164), before RR -----------
@@ -183,17 +183,17 @@ def _bounce(scene: SceneData, settings: RenderSettings, ps: _PathState,
     throughput = ps.throughput / jnp.maximum(p_survive, 1.0e-8)[..., None]
     active = ps.active & hit & survive
 
-    # --- Surface fetch (Shade prologue, PathTracer.cu:319-345) ---------
+    # --- Surface fetch (Shade prologue, PathTracer.cu:319-346;
+    # instanced: transform + invT^T normals, material per instance) ----
     tri_id = isect.tri_idx
+    inst_id = isect.inst_idx
     uv = jnp.stack([isect.u, isect.v], axis=-1)
-    v0 = scene.bvh.v0[tri_id]
-    v1 = scene.bvh.v1[tri_id]
-    v2 = scene.bvh.v2[tri_id]
+    v0, v1, v2 = view.tri_world_verts(scene, tri_id, inst_id)
     hit_p = barycentric(v0, v1, v2, uv)
-    normal = normalize(barycentric(
-        scene.n0[tri_id], scene.n1[tri_id], scene.n2[tri_id], uv))
+    hn0, hn1, hn2 = view.tri_world_normals(scene, tri_id, inst_id)
+    normal = normalize(barycentric(hn0, hn1, hn2, uv))
     g_normal = normalize(tri_mod.geometric_normal(v0, v1, v2))
-    mat = scene.materials.take(scene.tri_mat[tri_id])
+    mat = scene.materials.take(view.material_id(scene, tri_id, inst_id))
 
     # --- Texture fetches (PathTracer.cu:347-351, 400-405) --------------
     tex_uv = barycentric(scene.uv0[tri_id], scene.uv1[tri_id],
@@ -214,7 +214,7 @@ def _bounce(scene: SceneData, settings: RenderSettings, ps: _PathState,
     cos_o = jnp.abs(dot(normal, ps.ray_d))
     d_sq = dot(hit_p - ps.mis_origin, hit_p - ps.mis_origin)
     hit_light_pdf = _light_pdf_area(
-        scene, tri_id, scene.inst_ntris[scene.tri_inst[tri_id]]) \
+        scene, v0, v1, v2, view.hit_inst_ntris(scene, tri_id, inst_id)) \
         * d_sq / jnp.maximum(cos_o, 1.0e-8)
     mis_w = jnp.where(is_pdf_valid(hit_light_pdf),
                       power_heuristic(ps.last_pdf, hit_light_pdf), 0.0)
@@ -256,8 +256,8 @@ def _bounce(scene: SceneData, settings: RenderSettings, ps: _PathState,
         nee_valid = nee_valid & scatterable & ~pass_through
         # Trace shadow rays only where needed: deactivate other lanes by
         # zeroing t_max (their while_loop exits immediately).
-        occluded = traverse2.any_hit(
-            scene.bvh, sh_o, sh_d,
+        occluded = view.any_hit(
+            scene, sh_o, sh_d,
             jnp.where(nee_valid, sh_dist - 1.0e-4, 0.0))
         radiance = jnp.where((nee_valid & ~occluded)[..., None],
                              radiance + nee_contrib, radiance)

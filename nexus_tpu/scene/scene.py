@@ -28,6 +28,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from nexus_tpu.accel import bvh2 as bvh2_mod
+from nexus_tpu.accel import tlas as tlas_mod
+from nexus_tpu.accel.tlas import TLASArrays
 from nexus_tpu.accel.traverse2 import BVH2Arrays, device_arrays
 from nexus_tpu.scene.camera import Camera, make_camera
 from nexus_tpu.scene.materials import MaterialBuilder, Materials
@@ -36,8 +38,16 @@ from nexus_tpu.scene.textures import TextureAtlas, build_atlas
 
 @flax.struct.dataclass
 class SceneData:
-    """Complete device scene (D_Scene analog) — one jittable pytree."""
-    bvh: BVH2Arrays          # traversal arrays + world-space v0/v1/v2
+    """Complete device scene (D_Scene analog) — one jittable pytree.
+
+    Exactly one of `bvh` (flat, world-space triangles) / `tlas`
+    (instanced TLAS→BLAS, object-space triangles + per-instance
+    transforms) is set; `is_instanced` dispatches statically. The
+    shading-attribute arrays (n0..uv2) are indexed by GLOBAL triangle id
+    in both modes (instanced: object space, transformed by scene/view.py
+    accessors at shade time, matching PathTracer.cu:328-346).
+    """
+    bvh: BVH2Arrays | None   # flat: traversal arrays + world v0/v1/v2
     # Per-triangle shading attributes, indexed by global triangle id:
     n0: jnp.ndarray          # (N, 3) vertex normals
     n1: jnp.ndarray
@@ -58,14 +68,44 @@ class SceneData:
     env_map: jnp.ndarray               # (He, We, 3) float32 radiance
     background_color: jnp.ndarray      # (3,)
     background_intensity: jnp.ndarray  # ()
+    # Instanced mode (None for flat scenes):
+    tlas: "TLASArrays | None" = None
+    light_inst: jnp.ndarray | None = None  # (L,) int32 owning instance
     # Static (non-pytree) metadata: real light count (the arrays above are
     # padded to >=1 for well-formed gathers; n_lights is the truth).
     n_lights: int = flax.struct.field(pytree_node=False, default=0)
     has_env: bool = flax.struct.field(pytree_node=False, default=False)
+    is_instanced: bool = flax.struct.field(pytree_node=False, default=False)
 
     @property
     def tri_count(self) -> int:
         return self.tri_mat.shape[0]
+
+
+def _per_tri_attrs(vertices, faces, normals, uvs):
+    """(V,3)+(F,3) indexed mesh → per-triangle SoA attribute arrays.
+
+    Missing normals fall back to geometric face normals (the reference
+    imports normals from assimp, OBJLoader.cpp:28-44)."""
+    vertices = np.asarray(vertices, np.float32)
+    faces = np.asarray(faces, np.int64)
+    v0, v1, v2 = (vertices[faces[:, k]] for k in range(3))
+    if normals is None:
+        gn = np.cross(v1 - v0, v2 - v0)
+        gn = gn / np.maximum(np.linalg.norm(gn, axis=-1, keepdims=True),
+                             1e-20)
+        n0 = n1 = n2 = gn.astype(np.float32)
+    else:
+        normals = np.asarray(normals, np.float32)
+        normals = normals / np.maximum(
+            np.linalg.norm(normals, axis=-1, keepdims=True), 1e-20)
+        n0, n1, n2 = (normals[faces[:, k]] for k in range(3))
+    if uvs is None:
+        uv0 = uv1 = uv2 = np.zeros((faces.shape[0], 2), np.float32)
+    else:
+        uvs = np.asarray(uvs, np.float32)
+        uv0, uv1, uv2 = (uvs[faces[:, k]] for k in range(3))
+    return v0, v1, v2, n0, n1, n2, uv0, uv1, uv2
 
 
 @dataclasses.dataclass
@@ -96,6 +136,9 @@ class SceneBuilder:
         self.background_intensity = 1.0
         self._textures: list[np.ndarray] = []
         self._env_map: np.ndarray | None = None
+        # Instanced mode (build_instanced): mesh assets + instance records.
+        self._assets: list[dict] = []
+        self._inst_records: list[dict] = []
 
     def add_material(self, **kw) -> int:
         return self.materials.add(**kw)
@@ -166,6 +209,104 @@ class SceneBuilder:
         self._mat.append(np.full(faces.shape[0], material_id, np.int32))
         self._inst.append(np.full(faces.shape[0], inst_id, np.int32))
         return inst_id
+
+    def add_mesh_asset(self, vertices: np.ndarray, faces: np.ndarray,
+                       normals: np.ndarray | None = None,
+                       uvs: np.ndarray | None = None,
+                       name: str = "mesh") -> int:
+        """Register a reusable OBJECT-space mesh asset; returns mesh id.
+
+        The AssetManager::AddMesh analog (AssetManager.h:30): one BLAS is
+        built per asset at build_instanced() time and shared by every
+        instance referencing it (AssetManager::CreateBVH,
+        AssetManager.cpp:23-37).
+        """
+        v0, v1, v2, n0, n1, n2, uv0, uv1, uv2 = _per_tri_attrs(
+            vertices, faces, normals, uvs)
+        self._assets.append(dict(v0=v0, v1=v1, v2=v2, n0=n0, n1=n1, n2=n2,
+                                 uv0=uv0, uv1=uv1, uv2=uv2, name=name))
+        return len(self._assets) - 1
+
+    def add_instance(self, mesh_id: int, material_id: int,
+                     transform: np.ndarray | None = None,
+                     name: str | None = None) -> int:
+        """Place an instance of a mesh asset (BVHInstance analog:
+        per-instance transform + material binding, BVHInstance.h:22-29).
+        Only meaningful with build_instanced()."""
+        assert 0 <= mesh_id < len(self._assets), mesh_id
+        if transform is None:
+            transform = np.eye(4, dtype=np.float32)
+        self._inst_records.append(dict(
+            mesh_id=mesh_id, material_id=material_id,
+            transform=np.asarray(transform, np.float32),
+            name=name or f"{self._assets[mesh_id]['name']}.{len(self._inst_records)}"))
+        return len(self._inst_records) - 1
+
+    def build_instanced(self, leaf_size: int = 4) -> SceneData:
+        """Build the TLAS→BLAS instanced scene from assets + instances."""
+        assert self._inst_records, "no instances added (use add_instance)"
+        materials = self.materials.build()
+
+        blases = [tlas_mod.build_blas(a["v0"], a["v1"], a["v2"],
+                                      leaf_size=leaf_size)
+                  for a in self._assets]
+        inst_blas = [r["mesh_id"] for r in self._inst_records]
+        tl = tlas_mod.build_tlas(
+            blases, inst_blas,
+            [r["transform"] for r in self._inst_records],
+            [r["material_id"] for r in self._inst_records])
+
+        # Global per-triangle shading attrs: concat per asset, matching
+        # the tlas triangle concatenation order.
+        cat = lambda k: jnp.asarray(
+            np.concatenate([a[k] for a in self._assets]))
+
+        # Mesh lights = emissive instances (Scene.cpp:142-176); the
+        # light's triangles are the contiguous global range of its BLAS.
+        emissive = np.asarray(
+            np.max(np.asarray(materials.emission), axis=-1)
+            * np.asarray(materials.intensity) > 0.0)
+        tri_off = np.asarray(tl.inst_tri_off)
+        ntris_all = np.asarray(tl.inst_ntris)
+        starts, ntris, light_tris, light_inst = [], [], [], []
+        for i, r in enumerate(self._inst_records):
+            if emissive[r["material_id"]]:
+                starts.append(len(light_tris))
+                ntris.append(int(ntris_all[i]))
+                light_tris.extend(
+                    range(int(tri_off[i]), int(tri_off[i] + ntris_all[i])))
+                light_inst.append(i)
+        n_lights = len(starts)
+        if not starts:
+            starts, ntris, light_tris, light_inst = [0], [0], [0], [0]
+
+        camera = self.camera or make_camera(
+            position=(0.0, 0.0, 2.0), look_at=(0.0, 0.0, 0.0))
+        n_tris = int(np.asarray(tl.v0).shape[0])
+
+        return SceneData(
+            bvh=None, tlas=tl,
+            n0=cat("n0"), n1=cat("n1"), n2=cat("n2"),
+            uv0=cat("uv0"), uv1=cat("uv1"), uv2=cat("uv2"),
+            tri_mat=jnp.zeros(n_tris, jnp.int32),  # per-instance binding
+            tri_inst=jnp.zeros(n_tris, jnp.int32),  # from Intersection
+            inst_ntris=tl.inst_ntris,
+            materials=materials,
+            light_start=jnp.asarray(starts, jnp.int32),
+            light_ntris=jnp.asarray(ntris, jnp.int32),
+            light_tris=jnp.asarray(light_tris, jnp.int32),
+            light_inst=jnp.asarray(light_inst, jnp.int32),
+            camera=camera,
+            textures=build_atlas(self._textures),
+            env_map=jnp.asarray(
+                self._env_map if self._env_map is not None
+                else np.zeros((1, 1, 3), np.float32)),
+            background_color=jnp.asarray(self.background_color, jnp.float32),
+            background_intensity=jnp.asarray(self.background_intensity,
+                                             jnp.float32),
+            n_lights=n_lights,
+            has_env=self._env_map is not None,
+            is_instanced=True)
 
     def set_camera(self, **kw):
         self.camera = make_camera(**kw)

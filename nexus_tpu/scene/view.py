@@ -1,0 +1,92 @@
+"""Geometry view: uniform world-space accessors over flat and instanced scenes.
+
+The megakernel shades in WORLD space. A flat scene (SceneBuilder.build)
+stores world-space triangles in one BVH2; an instanced scene
+(SceneBuilder.build_instanced) stores OBJECT-space triangles per BLAS
+plus per-instance transforms (accel/tlas.py). These helpers give the
+integrator one interface over both, implementing the reference's
+instance-aware shading prologue: hit point via instance.transform,
+normals via invTransform.Transposed() (PathTracer.cu:328-346), material
+from the instance binding (PathTracer.cu:331), light-triangle transforms
+and WORLD-area pdfs in NEE (PathTracer.cu:225-277).
+
+Dispatch is static (`scene.is_instanced` is a non-pytree field), so jit
+traces exactly one path — no runtime branching.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from nexus_tpu.accel import traverse2, traverse_tlas
+from nexus_tpu.accel.traverse_tlas import _xform_point, _xform_vector
+from nexus_tpu.geom.types import MISS_DISTANCE, Intersection
+
+
+def closest_hit(scene, ray_o, ray_d) -> Intersection:
+    if scene.is_instanced:
+        return traverse_tlas.closest_hit(scene.tlas, ray_o, ray_d)
+    return traverse2.closest_hit(scene.bvh, ray_o, ray_d)
+
+
+def any_hit(scene, ray_o, ray_d, t_max) -> jnp.ndarray:
+    if scene.is_instanced:
+        return traverse_tlas.any_hit(scene.tlas, ray_o, ray_d, t_max)
+    return traverse2.any_hit(scene.bvh, ray_o, ray_d, t_max)
+
+
+def tri_world_verts(scene, tri_id, inst_id):
+    """World-space (v0, v1, v2) of global triangle `tri_id` under
+    instance `inst_id` (D_Triangle triangleTransformed analog,
+    PathTracer.cu:370-375)."""
+    if scene.is_instanced:
+        t = scene.tlas
+        m = t.inst_m[inst_id]
+        return (_xform_point(m, t.v0[tri_id]),
+                _xform_point(m, t.v1[tri_id]),
+                _xform_point(m, t.v2[tri_id]))
+    b = scene.bvh
+    return b.v0[tri_id], b.v1[tri_id], b.v2[tri_id]
+
+
+def tri_world_normals(scene, tri_id, inst_id):
+    """Vertex normals transformed to world (UNNORMALIZED — callers
+    normalize after barycentric interpolation; invT^T per
+    PathTracer.cu:343-346)."""
+    n0 = scene.n0[tri_id]
+    n1 = scene.n1[tri_id]
+    n2 = scene.n2[tri_id]
+    if scene.is_instanced:
+        nm = scene.tlas.inst_nrm[inst_id]  # (..., 3, 3)
+        xf = lambda n: jnp.einsum("...ij,...j->...i", nm, n)
+        return xf(n0), xf(n1), xf(n2)
+    return n0, n1, n2
+
+
+def world_geometric_normal(scene, tri_id, inst_id) -> jnp.ndarray:
+    """UNNORMALIZED world geometric normal of the triangle."""
+    from nexus_tpu.geom import triangle as tri_mod
+
+    if scene.is_instanced:
+        t = scene.tlas
+        gn = tri_mod.geometric_normal(t.v0[tri_id], t.v1[tri_id],
+                                      t.v2[tri_id])
+        return jnp.einsum("...ij,...j->...i", t.inst_nrm[inst_id], gn)
+    b = scene.bvh
+    return tri_mod.geometric_normal(b.v0[tri_id], b.v1[tri_id], b.v2[tri_id])
+
+
+def material_id(scene, tri_id, inst_id) -> jnp.ndarray:
+    """Material binding: per-instance when instanced (PathTracer.cu:331),
+    per-triangle in the flat scene."""
+    if scene.is_instanced:
+        return scene.tlas.inst_mat[inst_id]
+    return scene.tri_mat[tri_id]
+
+
+def hit_inst_ntris(scene, tri_id, inst_id) -> jnp.ndarray:
+    """Triangle count of the hit instance's mesh (for the emissive-hit
+    MIS light pdf, PathTracer.cu:376)."""
+    if scene.is_instanced:
+        return scene.tlas.inst_ntris[inst_id]
+    return scene.inst_ntris[scene.tri_inst[tri_id]]
