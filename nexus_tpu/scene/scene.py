@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from nexus_tpu.accel import bvh2 as bvh2_mod
+from nexus_tpu.accel import links as links_mod
 from nexus_tpu.accel import tlas as tlas_mod
 from nexus_tpu.accel.tlas import TLASArrays
 from nexus_tpu.accel.traverse2 import BVH2Arrays, device_arrays
@@ -71,6 +72,13 @@ class SceneData:
     # Instanced mode (None for flat scenes):
     tlas: "TLASArrays | None" = None
     light_inst: jnp.ndarray | None = None  # (L,) int32 owning instance
+    # Per-octant skip links for the stackless fast traversal
+    # (accel/links.py; (8*M,) flattened [octant, node] tables):
+    links_hit: jnp.ndarray | None = None
+    links_miss: jnp.ndarray | None = None
+    # Blocked triangle layout for the Pallas dense-culled trace kernel
+    # (kernels/trace.py; flat scenes, TPU backend):
+    blocked: "object | None" = None
     # Static (non-pytree) metadata: real light count (the arrays above are
     # padded to >=1 for well-formed gathers; n_lights is the truth).
     n_lights: int = flax.struct.field(pytree_node=False, default=0)
@@ -255,6 +263,8 @@ class SceneBuilder:
             blases, inst_blas,
             [r["transform"] for r in self._inst_records],
             [r["material_id"] for r in self._inst_records])
+        from nexus_tpu.accel.traverse_links import link_tlas
+        linked = link_tlas(tl)
 
         # Global per-triangle shading attrs: concat per asset, matching
         # the tlas triangle concatenation order.
@@ -286,6 +296,7 @@ class SceneBuilder:
 
         return SceneData(
             bvh=None, tlas=tl,
+            links_hit=linked.hit, links_miss=linked.miss,
             n0=cat("n0"), n1=cat("n1"), n2=cat("n2"),
             uv0=cat("uv0"), uv1=cat("uv1"), uv2=cat("uv2"),
             tri_mat=jnp.zeros(n_tris, jnp.int32),  # per-instance binding
@@ -322,6 +333,10 @@ class SceneBuilder:
 
         bvh = bvh2_mod.build(v0, v1, v2, leaf_size=leaf_size)
         bvh_arrays = device_arrays(bvh, v0, v1, v2)
+        links = links_mod.build_links(bvh.bmin, bvh.bmax, bvh.left_first,
+                                      bvh.count)
+        from nexus_tpu.kernels.trace import block_triangles
+        blocked = block_triangles(v0, v1, v2, order=bvh.tri_order)
 
         # Mesh lights: one light per emissive instance (Scene.cpp:142-176).
         emissive = np.asarray(
@@ -345,6 +360,9 @@ class SceneBuilder:
 
         return SceneData(
             bvh=bvh_arrays,
+            links_hit=jnp.asarray(links.hit.reshape(-1)),
+            links_miss=jnp.asarray(links.miss.reshape(-1)),
+            blocked=blocked,
             n0=jnp.asarray(np.concatenate(self._n0)),
             n1=jnp.asarray(np.concatenate(self._n1)),
             n2=jnp.asarray(np.concatenate(self._n2)),

@@ -16,20 +16,80 @@ traces exactly one path — no runtime branching.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
-from nexus_tpu.accel import traverse2, traverse_tlas
+from nexus_tpu.accel import traverse2, traverse_links, traverse_tlas
+from nexus_tpu.accel.traverse_links import LinkedBVH2, LinkedTLAS
 from nexus_tpu.accel.traverse_tlas import _xform_point, _xform_vector
 from nexus_tpu.geom.types import MISS_DISTANCE, Intersection
 
 
+def _linked(scene):
+    if scene.is_instanced:
+        return LinkedTLAS(base=scene.tlas, hit=scene.links_hit,
+                          miss=scene.links_miss)
+    return LinkedBVH2(base=scene.bvh, hit=scene.links_hit,
+                      miss=scene.links_miss,
+                      n_nodes=int(scene.bvh.left_first.shape[0]))
+
+
+def _use_pallas(scene) -> bool:
+    """Static dispatch: the Pallas dense-culled kernel handles flat
+    scenes on the TPU backend (kernels/trace.py). CPU/tests take the
+    skip-link path (the kernel itself is covered by interpret-mode
+    tests in tests/test_kernels.py)."""
+    import os
+
+    import jax
+
+    return (scene.blocked is not None and not scene.is_instanced
+            and jax.default_backend() == "tpu"
+            and not os.environ.get("NEXUS_NO_PALLAS"))
+
+
 def closest_hit(scene, ray_o, ray_d) -> Intersection:
+    if _use_pallas(scene):
+        return _pallas_closest(scene, ray_o, ray_d)
+    if scene.links_hit is not None:  # stackless skip-link fast path
+        if scene.is_instanced:
+            return traverse_links.closest_hit_tlas(_linked(scene),
+                                                   ray_o, ray_d)
+        return traverse_links.closest_hit(_linked(scene), ray_o, ray_d)
     if scene.is_instanced:
         return traverse_tlas.closest_hit(scene.tlas, ray_o, ray_d)
     return traverse2.closest_hit(scene.bvh, ray_o, ray_d)
 
 
+def _pallas_closest(scene, ray_o, ray_d, interpret=False) -> Intersection:
+    from nexus_tpu.geom import triangle as tri_mod
+    from nexus_tpu.kernels import trace as ktrace
+
+    bt_s, o_s, d_s = jax.lax.stop_gradient((scene.blocked, ray_o, ray_d))
+    t, slot = ktrace.closest_hit_blocks(bt_s, o_s, d_s,
+                                        interpret=interpret)
+    miss = slot < 0
+    tri = scene.blocked.to_global[jnp.maximum(slot, 0)]
+    b = scene.bvh
+    # Differentiable refinement against the found triangle (the same
+    # contract as accel/traverse2.closest_hit).
+    th, u, v = tri_mod.refine(ray_o, ray_d, b.v0[tri], b.v1[tri],
+                              b.v2[tri])
+    return Intersection(t=jnp.where(miss, MISS_DISTANCE, th), u=u, v=v,
+                        tri_idx=tri, inst_idx=jnp.zeros_like(tri))
+
+
 def any_hit(scene, ray_o, ray_d, t_max) -> jnp.ndarray:
+    if _use_pallas(scene):
+        from nexus_tpu.kernels import trace as ktrace
+
+        args = jax.lax.stop_gradient((scene.blocked, ray_o, ray_d, t_max))
+        return ktrace.any_hit_blocks(*args)
+    if scene.links_hit is not None:
+        if scene.is_instanced:
+            return traverse_links.any_hit_tlas(_linked(scene), ray_o,
+                                               ray_d, t_max)
+        return traverse_links.any_hit(_linked(scene), ray_o, ray_d, t_max)
     if scene.is_instanced:
         return traverse_tlas.any_hit(scene.tlas, ray_o, ray_d, t_max)
     return traverse2.any_hit(scene.bvh, ray_o, ray_d, t_max)
