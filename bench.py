@@ -23,7 +23,8 @@ def main():
 
     from nexus_tpu.core.config import RenderSettings
     from nexus_tpu.io.loader import add_model
-    from nexus_tpu.render.megakernel import count_rays, render_pixels
+    from nexus_tpu.render.megakernel import count_rays
+    from nexus_tpu.render.wavefront import render_pixels
     from nexus_tpu.scene.scene import SceneBuilder
 
     width = height = int(os.environ.get("BENCH_RES", "256"))
@@ -81,7 +82,7 @@ def main():
         pass
 
     print(json.dumps({
-        "metric": "Mrays/s/chip (megakernel fwd, cornell_box_sphere "
+        "metric": "Mrays/s/chip (wavefront fwd, cornell_box_sphere "
                   f"{width}x{height}x{spp}spp, {path_length} bounces)",
         "value": round(mrays, 3),
         "unit": "Mrays/s",

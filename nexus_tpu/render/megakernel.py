@@ -155,8 +155,14 @@ def _bounce(scene: SceneData, settings: RenderSettings, ps: _PathState,
             bounce_idx: jnp.ndarray, with_stats: bool = False):
     """One wavefront bounce over all lanes (LogicKernel + Shade + NEE)."""
     # --- Trace (closest hit) -------------------------------------------
-    isect = view.closest_hit(scene, ps.ray_o, ps.ray_d)
-    hit = isect.t < MISS_DISTANCE
+    # Dead lanes trace a parked ray from +inf: every block/node AABB
+    # misses, so a fully-dead (sorted) ray tile costs only its slab
+    # tests — tile-granular compaction (see render/wavefront.py).
+    alive = ps.active[..., None]
+    isect = view.closest_hit(scene,
+                             jnp.where(alive, ps.ray_o, 1.0e30),
+                             jnp.where(alive, ps.ray_d, 1.0))
+    hit = ps.active & (isect.t < MISS_DISTANCE)
 
     # --- Miss: background (PathTracer.cu:151-164), before RR -----------
     bg = _sample_background(scene, ps.ray_d)
