@@ -90,6 +90,18 @@ def build_from_aabbs(tri_min: np.ndarray, tri_max: np.ndarray,
     tri_max = np.asarray(tri_max, np.float32)
     cent = np.asarray(cent, np.float32)
 
+    # Native builder (native/nexus_native.cpp — identical algorithm,
+    # required-identical output, tests/test_native.py); NumPy below is
+    # the fallback and the executable spec.
+    from nexus_tpu import native
+
+    res = native.bvh2_build(tri_min, tri_max, cent, leaf_size,
+                            force_leaf_one)
+    if res is not None:
+        bmin, bmax, left_first, count, order = res
+        return BVH2(bmin=bmin, bmax=bmax, left_first=left_first,
+                    count=count, tri_order=order)
+
     if force_leaf_one:
         leaf_size = 1
 

@@ -55,6 +55,15 @@ def build_links(bmin: np.ndarray, bmax: np.ndarray,
     pass resolves the miss-link dependency chain).
     """
     m = left_first.shape[0]
+
+    # Native path (native/nexus_native.cpp — identical output,
+    # tests/test_native.py); the NumPy code below is the fallback spec.
+    from nexus_tpu import native
+
+    res = native.build_links(bmin, bmax, left_first, count)
+    if res is not None:
+        return SkipLinks(hit=res[0], miss=res[1])
+
     center = 0.5 * (bmin + bmax)
     is_int = count == 0
     hit = np.empty((8, m), np.int32)
