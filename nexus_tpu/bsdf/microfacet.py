@@ -27,7 +27,12 @@ def beckmann_d(alpha: jnp.ndarray, m_dot_n: jnp.ndarray) -> jnp.ndarray:
     cos_sq_safe = jnp.maximum(cos_sq, 1.0e-12)
     num = jnp.exp((cos_sq_safe - 1.0) / (alpha_sq * cos_sq_safe))
     den = jnp.pi * alpha_sq * cos_sq_safe * cos_sq_safe
-    return jnp.where(m_dot_n > 0.0, num / den, 0.0)
+    # _guarded_div, not /: den can reach ~1e-24 at grazing m; the division
+    # transpose computes den**-2 which overflows to inf in f32, and
+    # 0*inf = NaN poisons reverse-mode gradients of broadcast parameters
+    # (roughness) even on lanes the jnp.where masks out. num underflows to
+    # 0 long before den gets that small, so flooring den is value-exact.
+    return jnp.where(m_dot_n > 0.0, _guarded_div(num, den), 0.0)
 
 
 def _smith_a(alpha: jnp.ndarray, s_dot_n: jnp.ndarray) -> jnp.ndarray:

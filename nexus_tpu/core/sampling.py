@@ -22,25 +22,45 @@ def is_pdf_valid(pdf: jnp.ndarray) -> jnp.ndarray:
     return jnp.isfinite(pdf) & (pdf > PDF_EPS)
 
 
-_RATIO_MAX = 1.0e18  # ratio² stays below f32 max; past it w ≈ 0 anyway
+_PDF_CLAMP = 1.0e18  # past this w is 0 or 1 to f32 precision anyway
+
+
+def _sanitize_pdf(pdf: jnp.ndarray) -> jnp.ndarray:
+    """Finite, clamped pdf for MIS-weight arithmetic.
+
+    Two hazards this removes (both reverse-mode only — callers already
+    mask invalid lanes' VALUES with is_pdf_valid):
+    * inf pdfs from garbage (masked) lanes: the ratio division's
+      transpose computes -ct * ans / y; ans = inf with ct = 0 gives
+      0*inf = NaN, which poisons broadcast parameter gradients even
+      though the lane itself is where-masked out.
+    * NaN pdfs: propagate through every primal-using VJP regardless of
+      cotangent.
+    The replacement value (and the clamp) only changes masked lanes or
+    weights already saturated at 0/1 in f32.
+    """
+    pdf = jnp.where(jnp.isnan(pdf), 1.0, pdf)
+    return jnp.clip(pdf, 1.0 / _PDF_CLAMP, _PDF_CLAMP)
 
 
 def balance_heuristic(pdf1: jnp.ndarray, pdf2: jnp.ndarray) -> jnp.ndarray:
     """pdf1 / (pdf1 + pdf2) in overflow-safe ratio form."""
-    r = jnp.clip(pdf2 / jnp.maximum(pdf1, 1.0e-20), 0.0, _RATIO_MAX)
+    r = _sanitize_pdf(pdf2) / _sanitize_pdf(pdf1)
     return 1.0 / (1.0 + r)
 
 
 def power_heuristic(pdf1: jnp.ndarray, pdf2: jnp.ndarray) -> jnp.ndarray:
     """Veach power heuristic, beta=2 (Sampler.cuh:22-25).
 
-    Computed as 1/(1 + (pdf2/pdf1)²) with a clamped ratio: the naive
+    Computed as 1/(1 + (pdf2/pdf1)²) on sanitized pdfs: the naive
     p1²/(p1²+p2²) overflows f32 for large pdfs (e.g. the near-delta
     lastPdf init of 1e10, or garbage-lane solid-angle pdfs) and its VJP
-    then produces inf/inf = NaN even under a zero cotangent.
+    then produces inf/inf = NaN even under a zero cotangent. The ratio
+    of clamped pdfs can still overflow when squared, so the square is
+    taken on the clamped ratio.
     """
-    r = jnp.clip(pdf2 / jnp.maximum(pdf1, 1.0e-20), 0.0, _RATIO_MAX)
-    return 1.0 / (1.0 + r * r)
+    r = jnp.clip(_sanitize_pdf(pdf2) / _sanitize_pdf(pdf1), 0.0, _PDF_CLAMP)
+    return 1.0 / (1.0 + jnp.minimum(r * r, 3.0e37))
 
 
 def cosine_hemisphere(u1: jnp.ndarray, u2: jnp.ndarray) -> jnp.ndarray:
