@@ -1,4 +1,4 @@
-"""Pallas TPU trace kernels: dense block-culled ray-triangle intersection.
+"""Pallas TPU trace kernels: shortlist-driven block intersection.
 
 The performance core (the reference's BVH8Trace / BVH8TraceShadow,
 Nexus/src/Cuda/BVH/BVH8Traversal.cuh:148-518, re-designed for the TPU
@@ -9,22 +9,29 @@ execution model rather than ported):
   per-thread stack traversal         NO per-lane traversal state at all
   warp-coherent node fetches         dense (TILE_R x 128) vector ops
   atomicAdd dynamic ray fetch        grid over fixed ray tiles
+  near-first child ordering          per-tile NEAR-TO-FAR block
+                                     shortlist (scalar prefetch)
   per-lane triangle postponement     whole-tile BLOCK SKIP (@pl.when)
 
 Triangles are grouped into blocks of 128 in SAH-builder order
 (bvh2.tri_order — consecutive triangles are spatial neighbors, the same
-locality the CWBVH leaves encode), each block carrying its AABB. A ray
-tile tests every block's AABB with a cheap scalar-broadcast slab test
-and runs the 128-wide Möller–Trumbore only for blocks the tile touches:
-hierarchical culling with ZERO gathers — per-lane dynamic indexing is
-the one primitive this hardware lacks (Mosaic supports only 2D gathers,
-and XLA-level gathers cost ~35us per (65k,) fetch — measured), while an
-entire 256x128 masked intersection block costs ~10us of pure VPU work.
+locality the CWBVH leaves encode), each block carrying its AABB.
+
+Two phases per trace:
+  1. CULL (XLA, vectorized): slab-test every ray against every block
+     AABB, reduce per ray tile → the tile's hit blocks sorted
+     near-to-far by entry distance (`_tile_shortlists`).
+  2. INTERSECT (Pallas): the shortlist rides in as scalar-prefetch SMEM
+     operands; each grid step walks ONLY its tile's blocks, nearest
+     first, runs the 128-wide masked Möller–Trumbore, and terminates
+     early once every ray's best hit is nearer than the next block's
+     entry (the TPU analog of ordered stack traversal + t-pruning).
 
 Rays live along sublanes (TILE_R rows), triangles along lanes (128 per
-block). Everything fits VMEM for scenes up to ~200k triangles; larger
-scenes stream blocks via the grid (TODO round 2: scalar-prefetch DMA
-with skip-aware streaming).
+block), so the kernel issues ZERO gathers — per-lane dynamic indexing
+is the one primitive this hardware lacks (XLA-level gathers cost ~35us
+per (65k,) fetch — measured), while an entire masked intersection block
+is pure VPU work.
 
 The layout is built host-side by `block_triangles`; t/u/v returned by
 the kernel are refined analytically outside (same differentiability
@@ -144,77 +151,122 @@ def _mt_block(tri_refs, b, ox, oy, oz, dx, dy, dz, t_cap):
     return jnp.where(ok, t, MISS_DISTANCE)
 
 
-def _tile_box_hit(aabb_ref, b, ox, oy, oz, ix, iy, iz, t_best):
-    """Scalar block-AABB slab test against the tile's rays → does ANY
-    ray enter the block closer than its current best hit?"""
-    t1x = (aabb_ref[b, 0] - ox) * ix
-    t2x = (aabb_ref[b, 3] - ox) * ix
-    t1y = (aabb_ref[b, 1] - oy) * iy
-    t2y = (aabb_ref[b, 4] - oy) * iy
-    t1z = (aabb_ref[b, 2] - oz) * iz
-    t2z = (aabb_ref[b, 5] - oz) * iz
-    tmin = jnp.maximum(jnp.maximum(jnp.minimum(t1x, t2x),
-                                   jnp.minimum(t1y, t2y)),
-                       jnp.minimum(t1z, t2z))
-    tmax = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
-                                   jnp.maximum(t1y, t2y)),
-                       jnp.maximum(t1z, t2z))
-    return (tmax >= tmin) & (tmin < t_best) & (tmax > 0.0)
-
-
 def _safe_inv(d):
     tiny = 1.0e-12
     d = jnp.where(jnp.abs(d) < tiny, jnp.where(d < 0, -tiny, tiny), d)
     return 1.0 / d
 
 
+def _tile_shortlists(aabb, ray_o, ray_d, t_cap):
+    """Phase 1 (XLA): per-tile block shortlist, sorted near-to-far.
+
+    The vectorized replacement for per-step stack traversal: every ray
+    slab-tests every block AABB; a tile's shortlist is the blocks ANY of
+    its rays enters, ordered by the tile's nearest entry distance (the
+    CWBVH octant-ordered hit-mask analog, BVH8Traversal.cuh:55-146).
+
+    Args are padded to a TILE_R multiple. t_cap is the per-ray maximum
+    distance (MISS_DISTANCE for closest-hit). Returns
+    (ids (nT, NB) int32, tmin (nT, NB) f32 sorted, counts (nT,) int32);
+    entries past counts[i] hold tmin=+inf.
+    """
+    rp = ray_o.shape[0]
+    n_tiles = rp // TILE_R
+    nb = aabb.shape[0]
+    bmin = aabb[:, 0:3]   # (NB, 3)
+    bmax = aabb[:, 3:6]
+    inv = _safe_inv(ray_d)
+
+    def group_fn(args):
+        o_t, inv_t, tc = args        # (G, TILE_R, 3) ... (G, TILE_R)
+        t1 = (bmin[None, None] - o_t[..., None, :]) * inv_t[..., None, :]
+        t2 = (bmax[None, None] - o_t[..., None, :]) * inv_t[..., None, :]
+        tmin = jnp.max(jnp.minimum(t1, t2), axis=-1)  # (G, TILE_R, NB)
+        tmax = jnp.min(jnp.maximum(t1, t2), axis=-1)
+        hit = (tmax >= tmin) & (tmax > 0.0) & (tmin < tc[..., None])
+        entry = jnp.where(hit, jnp.maximum(tmin, 0.0), jnp.inf)
+        return jnp.min(entry, axis=1)                 # (G, NB)
+
+    args = (ray_o.reshape(n_tiles, TILE_R, 3),
+            inv.reshape(n_tiles, TILE_R, 3),
+            t_cap.reshape(n_tiles, TILE_R))
+    # Bound the (G, TILE_R, NB, 3) intermediate to ~50 MB: small scenes
+    # cull in ONE vector op; big ones loop over tile groups.
+    g = max(1, min(n_tiles, 4_000_000 // max(TILE_R * nb, 1)))
+    if g == n_tiles:
+        tmins = group_fn(args)
+    else:
+        n_grp = (n_tiles + g - 1) // g
+        pad = n_grp * g - n_tiles
+        args = jax.tree.map(
+            lambda a: jnp.pad(
+                a, ((0, pad),) + ((0, 0),) * (a.ndim - 1),
+                constant_values=1.0e30
+            ).reshape((n_grp, g) + a.shape[1:]), args)
+        tmins = jax.lax.map(group_fn, args).reshape(
+            n_grp * g, nb)[:n_tiles]
+    order = jnp.argsort(tmins, axis=1).astype(jnp.int32)
+    tmin_sorted = jnp.take_along_axis(tmins, order, axis=1)
+    counts = jnp.sum(jnp.isfinite(tmins), axis=1).astype(jnp.int32)
+    return order, tmin_sorted, counts
+
+
 def _closest_kernel(n_blocks,
+                    ids_ref, tmin_ref, cnt_ref,   # scalar-prefetch SMEM
                     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-                    aabb_ref, axr, ayr, azr, bxr, byr, bzr, cxr, cyr, czr,
+                    axr, ayr, azr, bxr, byr, bzr, cxr, cyr, czr,
                     t_ref, id_ref):
+    del n_blocks
     tri_refs = (axr, ayr, azr, bxr, byr, bzr, cxr, cyr, czr)
+    i = pl.program_id(0)
     ox = ox_ref[:]                      # (TILE_R, 1) ray column vectors
     oy = oy_ref[:]
     oz = oz_ref[:]
     dx = dx_ref[:]
     dy = dy_ref[:]
     dz = dz_ref[:]
-    ix = _safe_inv(dx)
-    iy = _safe_inv(dy)
-    iz = _safe_inv(dz)
     lane = jax.lax.broadcasted_iota(jnp.int32, (TILE_R, CHUNK), 1)
-    # Best-hit state lives in the OUTPUT refs (VMEM scratch semantics):
-    # lax.cond/fori vector carries fail Mosaic legalization; predicated
-    # ref updates via @pl.when are the supported pattern.
+    # Best-hit state lives in the OUTPUT refs (VMEM scratch semantics);
+    # the dynamic-trip-count while_loop visits ONLY this tile's
+    # shortlist entries — skipped blocks cost nothing at all.
     t_ref[:] = jnp.full((TILE_R, 1), MISS_DISTANCE, jnp.float32)
     id_ref[:] = jnp.full((TILE_R, 1), -1, jnp.int32)
+    n_list = cnt_ref[i]
 
-    def body(b, _):
+    def cond(carry):
+        k, t_far = carry
+        # Ordered early termination: blocks come nearest-first, so once
+        # the next entry distance exceeds the tile's WORST best-hit no
+        # remaining block can improve any ray.
+        return (k < n_list) & (tmin_ref[i, k] < t_far)
+
+    def body(carry):
+        k, _ = carry
+        b = ids_ref[i, k]
         t_best = t_ref[:]
-        hit = _tile_box_hit(aabb_ref, b, ox, oy, oz, ix, iy, iz, t_best)
+        t = _mt_block(tri_refs, b, ox, oy, oz, dx, dy, dz, t_best)
+        t_min = jnp.min(t, axis=1, keepdims=True)
+        # argmin via masked lane-index min (ties → lowest lane).
+        kk = jnp.min(jnp.where(t == t_min, lane, CHUNK), axis=1,
+                     keepdims=True)
+        better = t_min < t_best
+        t_new = jnp.where(better, t_min, t_best)
+        t_ref[:] = t_new
+        id_ref[:] = jnp.where(better, b * CHUNK + kk, id_ref[:])
+        return k + 1, jnp.max(t_new)
 
-        @pl.when(jnp.any(hit))
-        def _():
-            t = _mt_block(tri_refs, b, ox, oy, oz, dx, dy, dz, t_best)
-            t_min = jnp.min(t, axis=1, keepdims=True)
-            # argmin via masked lane-index min (ties → lowest lane).
-            k = jnp.min(jnp.where(t == t_min, lane, CHUNK), axis=1,
-                        keepdims=True)
-            better = t_min < t_best
-            t_ref[:] = jnp.where(better, t_min, t_best)
-            id_ref[:] = jnp.where(better, b * CHUNK + k, id_ref[:])
-
-        return 0
-
-    jax.lax.fori_loop(0, n_blocks, body, 0)
+    jax.lax.while_loop(cond, body, (jnp.int32(0), MISS_DISTANCE))
 
 
 def _anyhit_kernel(n_blocks,
+                   ids_ref, tmin_ref, cnt_ref,    # scalar-prefetch SMEM
                    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                    tmax_ref,
-                   aabb_ref, axr, ayr, azr, bxr, byr, bzr, cxr, cyr, czr,
+                   axr, ayr, azr, bxr, byr, bzr, cxr, cyr, czr,
                    hit_ref):
+    del n_blocks
     tri_refs = (axr, ayr, azr, bxr, byr, bzr, cxr, cyr, czr)
+    i = pl.program_id(0)
     ox = ox_ref[:]
     oy = oy_ref[:]
     oz = oz_ref[:]
@@ -222,33 +274,43 @@ def _anyhit_kernel(n_blocks,
     dy = dy_ref[:]
     dz = dz_ref[:]
     tmax = tmax_ref[:]
-    ix = _safe_inv(dx)
-    iy = _safe_inv(dy)
-    iz = _safe_inv(dz)
 
     hit_ref[:] = jnp.zeros((TILE_R, 1), bool)
+    n_list = cnt_ref[i]
 
-    def body(b, _):
+    def cond(carry):
+        k, n_open = carry
+        # Any-hit early exit: stop once every ray in the tile is
+        # occluded (nearest-first order makes this fast).
+        return (k < n_list) & (n_open > 0)
+
+    def body(carry):
+        k, _ = carry
+        b = ids_ref[i, k]
         found = hit_ref[:]
-        # Prune: rays already occluded don't need more blocks; use tmax
-        # capped to 0 for found lanes so the slab test ignores them.
+        # Occluded rays stop intersecting: cap their t to 0.
         t_cap = jnp.where(found, 0.0, tmax)
-        hit = _tile_box_hit(aabb_ref, b, ox, oy, oz, ix, iy, iz, t_cap)
+        t = _mt_block(tri_refs, b, ox, oy, oz, dx, dy, dz, t_cap)
+        new_found = found | jnp.any(t < t_cap, axis=1, keepdims=True)
+        hit_ref[:] = new_found
+        return k + 1, jnp.sum((~new_found).astype(jnp.int32))
 
-        @pl.when(jnp.any(hit))
-        def _():
-            t = _mt_block(tri_refs, b, ox, oy, oz, dx, dy, dz, tmax)
-            hit_ref[:] = found | jnp.any(t < tmax, axis=1, keepdims=True)
-
-        return 0
-
-    jax.lax.fori_loop(0, n_blocks, body, 0)
+    jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(TILE_R)))
 
 
-def _to_col(x, rp):
+def _to_col(x, rp, fill=0.0):
     """(R,) → (rp, 1) padded column (rays live along sublanes)."""
     r = x.shape[0]
-    return jnp.pad(x, (0, rp - r)).reshape(rp, 1)
+    return jnp.pad(x, (0, rp - r), constant_values=fill).reshape(rp, 1)
+
+
+def _pad_rays(ray_o, ray_d, rp):
+    """Pad to the tile multiple with parked rays (origin at +1e30 →
+    every slab test misses, so pad lanes never enter a shortlist)."""
+    r = ray_o.shape[0]
+    o = jnp.pad(ray_o, ((0, rp - r), (0, 0)), constant_values=1.0e30)
+    d = jnp.pad(ray_d, ((0, rp - r), (0, 0)), constant_values=1.0)
+    return o, d
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -257,23 +319,31 @@ def closest_hit_blocks(bt: BlockedTris, ray_o, ray_d, interpret=False):
     with blocked_slot = -1 on miss (map through bt.to_global outside)."""
     r = ray_o.shape[0]
     rp = max((r + TILE_R - 1) // TILE_R, 1) * TILE_R
-    ray_specs = [pl.BlockSpec((TILE_R, 1), lambda i: (i, 0),
+    o_p, d_p = _pad_rays(ray_o, ray_d, rp)
+    ids, tmins, counts = _tile_shortlists(
+        bt.aabb, o_p, d_p, jnp.full((rp,), MISS_DISTANCE, jnp.float32))
+
+    ray_specs = [pl.BlockSpec((TILE_R, 1), lambda i, *_: (i, 0),
                               memory_space=pltpu.VMEM) for _ in range(6)]
-    full = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(10)]
-    out_spec = pl.BlockSpec((TILE_R, 1), lambda i: (i, 0),
+    full = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(9)]
+    out_spec = pl.BlockSpec((TILE_R, 1), lambda i, *_: (i, 0),
                             memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(rp // TILE_R,),
+        in_specs=ray_specs + full,
+        out_specs=(out_spec, out_spec))
     t, slot = pl.pallas_call(
         functools.partial(_closest_kernel, bt.n_blocks),
         out_shape=(jax.ShapeDtypeStruct((rp, 1), jnp.float32),
                    jax.ShapeDtypeStruct((rp, 1), jnp.int32)),
-        grid=(rp // TILE_R,),
-        in_specs=ray_specs + full,
-        out_specs=(out_spec, out_spec),
+        grid_spec=grid_spec,
         interpret=interpret,
-    )(_to_col(ray_o[:, 0], rp), _to_col(ray_o[:, 1], rp),
-      _to_col(ray_o[:, 2], rp), _to_col(ray_d[:, 0], rp),
-      _to_col(ray_d[:, 1], rp), _to_col(ray_d[:, 2], rp),
-      bt.aabb, bt.ax, bt.ay, bt.az, bt.bx, bt.by, bt.bz,
+    )(ids, tmins, counts,
+      _to_col(o_p[:, 0], rp), _to_col(o_p[:, 1], rp),
+      _to_col(o_p[:, 2], rp), _to_col(d_p[:, 0], rp),
+      _to_col(d_p[:, 1], rp), _to_col(d_p[:, 2], rp),
+      bt.ax, bt.ay, bt.az, bt.bx, bt.by, bt.bz,
       bt.cx, bt.cy, bt.cz)
     return t.reshape(rp)[:r], slot.reshape(rp)[:r]
 
@@ -284,20 +354,28 @@ def any_hit_blocks(bt: BlockedTris, ray_o, ray_d, t_max, interpret=False):
     r = ray_o.shape[0]
     rp = max((r + TILE_R - 1) // TILE_R, 1) * TILE_R
     tm = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,))
-    ray_specs = [pl.BlockSpec((TILE_R, 1), lambda i: (i, 0),
+    o_p, d_p = _pad_rays(ray_o, ray_d, rp)
+    tm_p = jnp.pad(tm, (0, rp - r))
+    ids, tmins, counts = _tile_shortlists(bt.aabb, o_p, d_p, tm_p)
+
+    ray_specs = [pl.BlockSpec((TILE_R, 1), lambda i, *_: (i, 0),
                               memory_space=pltpu.VMEM) for _ in range(7)]
-    full = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(10)]
+    full = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(9)]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(rp // TILE_R,),
+        in_specs=ray_specs + full,
+        out_specs=pl.BlockSpec((TILE_R, 1), lambda i, *_: (i, 0),
+                               memory_space=pltpu.VMEM))
     hit = pl.pallas_call(
         functools.partial(_anyhit_kernel, bt.n_blocks),
         out_shape=jax.ShapeDtypeStruct((rp, 1), bool),
-        grid=(rp // TILE_R,),
-        in_specs=ray_specs + full,
-        out_specs=pl.BlockSpec((TILE_R, 1), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
+        grid_spec=grid_spec,
         interpret=interpret,
-    )(_to_col(ray_o[:, 0], rp), _to_col(ray_o[:, 1], rp),
-      _to_col(ray_o[:, 2], rp), _to_col(ray_d[:, 0], rp),
-      _to_col(ray_d[:, 1], rp), _to_col(ray_d[:, 2], rp), _to_col(tm, rp),
-      bt.aabb, bt.ax, bt.ay, bt.az, bt.bx, bt.by, bt.bz,
+    )(ids, tmins, counts,
+      _to_col(o_p[:, 0], rp), _to_col(o_p[:, 1], rp),
+      _to_col(o_p[:, 2], rp), _to_col(d_p[:, 0], rp),
+      _to_col(d_p[:, 1], rp), _to_col(d_p[:, 2], rp), _to_col(tm_p, rp),
+      bt.ax, bt.ay, bt.az, bt.bx, bt.by, bt.bz,
       bt.cx, bt.cy, bt.cz)
     return hit.reshape(rp)[:r]
