@@ -70,7 +70,8 @@ from jax.experimental.pallas import tpu as pltpu
 from nexus_tpu.geom.types import MISS_DISTANCE
 
 CHUNK = 128        # triangles per block == entries per AABB chunk (lanes)
-TILE_R = 512       # rays per grid step
+TILE_R = 256       # rays per grid step (sweep on v5e: 256 beats 128/512
+#                    at both 100k and 1M tris; benchmarks/scaling_tris.py)
 _INF = 3.0e38
 _BIG = 1.0e37
 
@@ -240,30 +241,61 @@ def _safe_inv(d):
 
 
 def _tile_bounds(ray_ref, valid):
-    """Realized per-tile bounds of origin and 1/direction (12 scalars).
-    Conservative interval inputs: any block a tile ray can hit passes
-    the interval slab test below."""
-    v = valid[:, 0]
+    """Conservative per-tile ray-bundle bounds (a few scalars):
+
+      - realized min/max of origin and 1/direction per component (feeds
+        the interval slab test);
+      - a bounding CONE of the directions (mean axis + min cosine) and
+        a bounding sphere of the origins (feeds the packet frustum-cull
+        analog — slab intervals degenerate when a direction component
+        straddles zero, the cone does not).
+    """
     lo, hi = [], []
     for c in range(3):
-        o = ray_ref[:, c]
-        lo.append(jnp.min(jnp.where(v, o, _BIG)))
-        hi.append(jnp.max(jnp.where(v, o, -_BIG)))
+        o = ray_ref[:, c:c + 1]
+        lo.append(jnp.min(jnp.where(valid, o, _BIG)))
+        hi.append(jnp.max(jnp.where(valid, o, -_BIG)))
     ilo, ihi = [], []
     for c in range(3):
-        iv = _safe_inv(ray_ref[:, 3 + c])
-        ilo.append(jnp.min(jnp.where(v, iv, _BIG)))
-        ihi.append(jnp.max(jnp.where(v, iv, -_BIG)))
-    return lo, hi, ilo, ihi
+        iv = _safe_inv(ray_ref[:, 3 + c:4 + c])
+        ilo.append(jnp.min(jnp.where(valid, iv, _BIG)))
+        ihi.append(jnp.max(jnp.where(valid, iv, -_BIG)))
+    # Direction cone: axis = normalized mean of unit directions,
+    # cos = min over rays of d.axis (<= 0 disables the cone cull).
+    n_valid = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
+    mean_d = [jnp.sum(jnp.where(valid, ray_ref[:, 3 + c:4 + c], 0.0))
+              / n_valid for c in range(3)]
+    norm = jnp.sqrt(mean_d[0] ** 2 + mean_d[1] ** 2 + mean_d[2] ** 2)
+    safe = jnp.maximum(norm, 1e-6)
+    axis = [m / safe for m in mean_d]
+    dots = (axis[0] * ray_ref[:, 3:4] + axis[1] * ray_ref[:, 4:5]
+            + axis[2] * ray_ref[:, 5:6])
+    cos_cone = jnp.min(jnp.where(valid, dots, _BIG))
+    cos_cone = jnp.where(norm < 1e-6, -1.0, jnp.clip(cos_cone, -1.0, 1.0))
+    # Origin bounding sphere.
+    oc = [0.5 * (lo[c] + hi[c]) for c in range(3)]
+    r_o = 0.5 * jnp.sqrt((hi[0] - lo[0]) ** 2 + (hi[1] - lo[1]) ** 2
+                         + (hi[2] - lo[2]) ** 2)
+    return (lo, hi, ilo, ihi), (oc, r_o, axis, cos_cone)
 
 
 def _cull_entries(aabb_ref, bounds):
-    """Interval-arithmetic slab test of every entry AABB against the
-    tile bounds, in ONE batched vector pass over (NEC, 128) rows.
-    Returns conservative entry distances: lo where possibly-hit, +inf
-    where provably missed (the tile-granular ChildTrace analog,
-    BVH8Traversal.cuh:55-146)."""
-    ol, oh, il, ih = bounds
+    """Tile-bundle cull of every entry AABB in ONE batched vector pass
+    over (NEC, 128) rows — the tile-granular ChildTrace analog
+    (BVH8Traversal.cuh:55-146). Two conservative tests are ANDed:
+
+      1. interval-arithmetic slab test over realized origin/inv-dir
+         bounds (exact-ish for axis-aligned separation);
+      2. direction-cone vs block-bounding-sphere test (packet frustum
+         culling; catches radial separation the slabs cannot express
+         when a direction component straddles zero).
+
+    Returns conservative entry distances: max(slab entry, radial
+    distance |center-origin| - radii) where possibly hit, +inf where
+    provably missed. The radial term is what makes per-ray best-t
+    pruning effective (it is a true lower bound on any hit t since
+    directions are unit length)."""
+    (ol, oh, il, ih), (oc, r_o, axis, cos_cone) = bounds
 
     def slab(p, a):  # interval of (p - o) * inv for axis a
         a1 = p - ol[a]
@@ -281,7 +313,40 @@ def _cull_entries(aabb_ref, bounds):
         tmin_lo = jnp.maximum(tmin_lo, jnp.minimum(n_lo, f_lo))
         tmax_hi = jnp.minimum(tmax_hi, jnp.maximum(n_hi, f_hi))
     hit = (tmax_hi >= tmin_lo) & (tmax_hi > 0.0)
-    return jnp.where(hit, jnp.maximum(tmin_lo, 0.0), _INF)
+
+    # Cone-vs-bounding-sphere test. p = block center relative to the
+    # origin-sphere center; a block survives unless its bounding sphere
+    # (radius r_b + origin radius r_o) lies strictly outside the
+    # direction cone or strictly behind the origins.
+    p, e2, r2 = [], 0.0, 0.0
+    for a in range(3):
+        c = 0.5 * (aabb_ref[:, a, :] + aabb_ref[:, 3 + a, :])
+        half = 0.5 * (aabb_ref[:, 3 + a, :] - aabb_ref[:, a, :])
+        p.append(c - oc[a])
+        e2 = e2 + half * half
+        r2 = r2 + p[a] * p[a]
+    r_tot = jnp.sqrt(jnp.maximum(e2, 0.0)) + r_o
+    dist = jnp.sqrt(jnp.maximum(r2, 0.0))
+    proj = p[0] * axis[0] + p[1] * axis[1] + p[2] * axis[2]
+    perp = jnp.sqrt(jnp.maximum(r2 - proj * proj, 0.0))
+    sin_cone = jnp.sqrt(jnp.maximum(1.0 - cos_cone * cos_cone, 0.0))
+    # Signed distance from the block sphere to the cone boundary
+    # (exact in front of the apex, an underestimate behind it — both
+    # conservative). Only applied when the cone is proper (cos > 0).
+    outside_cone = (perp * cos_cone - proj * sin_cone > r_tot) \
+        & (cos_cone > 0.0)
+    behind = proj < -r_tot
+    # Padding entries carry inverted boxes whose half-extent overflows
+    # to +inf; interval slabs cannot reject an inverted box (the
+    # corner-product bounds span everything), so reject on radius.
+    degenerate = r_tot >= _BIG
+    hit = hit & ~outside_cone & ~behind & ~degenerate
+
+    # Conservative entry distance: the slab entry and the radial lower
+    # bound |center - origin| - radii are both true lower bounds on any
+    # ray's hit parameter (directions are unit length).
+    entry = jnp.maximum(jnp.maximum(tmin_lo, dist - r_tot), 0.0)
+    return jnp.where(hit, entry, _INF)
 
 
 def _make_pop(lo_ref, nec):
@@ -493,18 +558,23 @@ def _anyhit_kernel(instanced, nec,
 
 def _pack_rays(ray_o, ray_d, t_max, rp):
     """(R,3)x2 + (R,) -> (rp, 8) [o.xyz d.xyz valid tmax], zero-padded
-    invalid rows."""
+    invalid rows. Rays PARKED at huge origins (the wavefront pipeline
+    parks dead lanes at +1e30, render/wavefront.py) are marked invalid
+    so they cannot blow up the tile's conservative bounds — an
+    all-parked tile skips every block. Directions must be unit length
+    (the radial entry bound assumes |d| == 1)."""
     r = ray_o.shape[0]
+    parked = jnp.any(jnp.abs(ray_o) >= 1.0e29, axis=1, keepdims=True)
+    valid = jnp.where(parked, 0.0, 1.0)
     packed = jnp.concatenate(
-        [ray_o, ray_d, jnp.ones((r, 1), jnp.float32),
-         t_max[:, None].astype(jnp.float32)], axis=1)
+        [ray_o, ray_d, valid, t_max[:, None].astype(jnp.float32)], axis=1)
     return jnp.pad(packed, ((0, rp - r), (0, 0)))
 
 
-def _common_specs(nec):
+def _common_specs(nec, tile_r):
     smem = [pl.BlockSpec(memory_space=pltpu.SMEM) for _ in range(3)]
     in_specs = smem + [
-        pl.BlockSpec((TILE_R, 8), lambda i: (i, 0),
+        pl.BlockSpec((tile_r, 8), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pl.ANY),
@@ -515,22 +585,23 @@ def _common_specs(nec):
     return in_specs, scratch
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def closest_hit_scene(bs: BlockedScene, ray_o, ray_d, interpret=False):
+@functools.partial(jax.jit, static_argnames=("interpret", "tile_r"))
+def closest_hit_scene(bs: BlockedScene, ray_o, ray_d, interpret=False,
+                      tile_r=TILE_R):
     """Closest hit. Returns (t, slot, inst): slot = block*128 + lane
     (-1 on miss; map through bs.to_global for the global triangle id),
     inst = instance id (0 for flat scenes)."""
     r = ray_o.shape[0]
-    rp = max((r + TILE_R - 1) // TILE_R, 1) * TILE_R
+    rp = max((r + tile_r - 1) // tile_r, 1) * tile_r
     rays = _pack_rays(ray_o, ray_d,
                       jnp.full((r,), MISS_DISTANCE, jnp.float32), rp)
     nec = bs.aabb.shape[0]
-    in_specs, scratch = _common_specs(nec)
-    col = pl.BlockSpec((TILE_R, 1), lambda i: (i, 0),
+    in_specs, scratch = _common_specs(nec, tile_r)
+    col = pl.BlockSpec((tile_r, 1), lambda i: (i, 0),
                        memory_space=pltpu.VMEM)
     t, slot, inst = pl.pallas_call(
         functools.partial(_closest_kernel, bs.instanced, nec),
-        grid=(rp // TILE_R,),
+        grid=(rp // tile_r,),
         in_specs=in_specs,
         out_specs=(col, col, col),
         out_shape=(jax.ShapeDtypeStruct((rp, 1), jnp.float32),
@@ -542,20 +613,21 @@ def closest_hit_scene(bs: BlockedScene, ray_o, ray_d, interpret=False):
     return t.reshape(rp)[:r], slot.reshape(rp)[:r], inst.reshape(rp)[:r]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def any_hit_scene(bs: BlockedScene, ray_o, ray_d, t_max, interpret=False):
+@functools.partial(jax.jit, static_argnames=("interpret", "tile_r"))
+def any_hit_scene(bs: BlockedScene, ray_o, ray_d, t_max, interpret=False,
+                  tile_r=TILE_R):
     """Occlusion test (True = some hit with t < t_max)."""
     r = ray_o.shape[0]
-    rp = max((r + TILE_R - 1) // TILE_R, 1) * TILE_R
+    rp = max((r + tile_r - 1) // tile_r, 1) * tile_r
     tm = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,))
     rays = _pack_rays(ray_o, ray_d, tm, rp)
     nec = bs.aabb.shape[0]
-    in_specs, scratch = _common_specs(nec)
+    in_specs, scratch = _common_specs(nec, tile_r)
     hit = pl.pallas_call(
         functools.partial(_anyhit_kernel, bs.instanced, nec),
-        grid=(rp // TILE_R,),
+        grid=(rp // tile_r,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((TILE_R, 1), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((tile_r, 1), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rp, 1), bool),
         scratch_shapes=scratch,

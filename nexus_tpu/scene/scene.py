@@ -76,8 +76,8 @@ class SceneData:
     # (accel/links.py; (8*M,) flattened [octant, node] tables):
     links_hit: jnp.ndarray | None = None
     links_miss: jnp.ndarray | None = None
-    # Blocked triangle layout for the Pallas dense-culled trace kernel
-    # (kernels/trace.py; flat scenes, TPU backend):
+    # Blocked triangle layout for the HBM-resident Pallas trace kernel
+    # (kernels/trace_hbm.py; flat AND instanced scenes, TPU backend):
     blocked: "object | None" = None
     # Static (non-pytree) metadata: real light count (the arrays above are
     # padded to >=1 for well-formed gathers; n_lights is the truth).
@@ -265,6 +265,8 @@ class SceneBuilder:
             [r["material_id"] for r in self._inst_records])
         from nexus_tpu.accel.traverse_links import link_tlas
         linked = link_tlas(tl)
+        from nexus_tpu.kernels.trace_hbm import build_blocked_tlas
+        blocked = build_blocked_tlas(tl)
 
         # Global per-triangle shading attrs: concat per asset, matching
         # the tlas triangle concatenation order.
@@ -295,7 +297,7 @@ class SceneBuilder:
         n_tris = int(np.asarray(tl.v0).shape[0])
 
         return SceneData(
-            bvh=None, tlas=tl,
+            bvh=None, tlas=tl, blocked=blocked,
             links_hit=linked.hit, links_miss=linked.miss,
             n0=cat("n0"), n1=cat("n1"), n2=cat("n2"),
             uv0=cat("uv0"), uv1=cat("uv1"), uv2=cat("uv2"),
@@ -335,8 +337,8 @@ class SceneBuilder:
         bvh_arrays = device_arrays(bvh, v0, v1, v2)
         links = links_mod.build_links(bvh.bmin, bvh.bmax, bvh.left_first,
                                       bvh.count)
-        from nexus_tpu.kernels.trace import block_triangles
-        blocked = block_triangles(v0, v1, v2, order=bvh.tri_order)
+        from nexus_tpu.kernels.trace_hbm import build_blocked_flat
+        blocked = build_blocked_flat(v0, v1, v2, bvh.tri_order)
 
         # Mesh lights: one light per emissive instance (Scene.cpp:142-176).
         emissive = np.asarray(

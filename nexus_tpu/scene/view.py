@@ -35,15 +35,15 @@ def _linked(scene):
 
 
 def _use_pallas(scene) -> bool:
-    """Static dispatch: the Pallas dense-culled kernel handles flat
-    scenes on the TPU backend (kernels/trace.py). CPU/tests take the
-    skip-link path (the kernel itself is covered by interpret-mode
-    tests in tests/test_kernels.py)."""
+    """Static dispatch: the HBM-resident Pallas kernel
+    (kernels/trace_hbm.py) serves BOTH flat and instanced scenes on the
+    TPU backend. CPU/tests take the skip-link path (the kernel itself
+    is covered by interpret-mode tests in tests/test_trace_hbm.py)."""
     import os
 
     import jax
 
-    return (scene.blocked is not None and not scene.is_instanced
+    return (scene.blocked is not None
             and jax.default_backend() == "tpu"
             and not os.environ.get("NEXUS_NO_PALLAS"))
 
@@ -63,28 +63,29 @@ def closest_hit(scene, ray_o, ray_d) -> Intersection:
 
 def _pallas_closest(scene, ray_o, ray_d, interpret=False) -> Intersection:
     from nexus_tpu.geom import triangle as tri_mod
-    from nexus_tpu.kernels import trace as ktrace
+    from nexus_tpu.kernels import trace_hbm as ktrace
 
     bt_s, o_s, d_s = jax.lax.stop_gradient((scene.blocked, ray_o, ray_d))
-    t, slot = ktrace.closest_hit_blocks(bt_s, o_s, d_s,
-                                        interpret=interpret)
+    t, slot, inst = ktrace.closest_hit_scene(bt_s, o_s, d_s,
+                                             interpret=interpret)
     miss = slot < 0
     tri = scene.blocked.to_global[jnp.maximum(slot, 0)]
-    b = scene.bvh
-    # Differentiable refinement against the found triangle (the same
-    # contract as accel/traverse2.closest_hit).
-    th, u, v = tri_mod.refine(ray_o, ray_d, b.v0[tri], b.v1[tri],
-                              b.v2[tri])
+    inst = jnp.maximum(inst, 0)
+    # Differentiable refinement against the found WORLD-space triangle
+    # (the same contract as accel/traverse2.closest_hit; instanced verts
+    # go through inst_m, keeping transform gradients alive in shading).
+    w0, w1, w2 = tri_world_verts(scene, tri, inst)
+    th, u, v = tri_mod.refine(ray_o, ray_d, w0, w1, w2)
     return Intersection(t=jnp.where(miss, MISS_DISTANCE, th), u=u, v=v,
-                        tri_idx=tri, inst_idx=jnp.zeros_like(tri))
+                        tri_idx=tri, inst_idx=inst)
 
 
 def any_hit(scene, ray_o, ray_d, t_max) -> jnp.ndarray:
     if _use_pallas(scene):
-        from nexus_tpu.kernels import trace as ktrace
+        from nexus_tpu.kernels import trace_hbm as ktrace
 
         args = jax.lax.stop_gradient((scene.blocked, ray_o, ray_d, t_max))
-        return ktrace.any_hit_blocks(*args)
+        return ktrace.any_hit_scene(*args)
     if scene.links_hit is not None:
         if scene.is_instanced:
             return traverse_links.any_hit_tlas(_linked(scene), ray_o,

@@ -1,88 +1,58 @@
-"""Pallas trace kernel correctness (interpret mode on CPU).
+"""Scene-view dispatch + kernel-path parity on real scenes.
 
-The dense block-culled kernel (kernels/trace.py) must reproduce the
-stack traversal's hit set exactly — same contract the real-chip run
-showed (100% agreement on 65k rays); these tests keep it honest on CPU.
+The HBM-resident kernel's unit parity lives in tests/test_trace_hbm.py;
+these tests cover the PRODUCT path: SceneBuilder-built scenes routed
+through scene/view.py, including the interpret-mode Pallas route that
+the TPU backend takes (view._pallas_closest) vs the skip-link route the
+CPU takes, for both flat and instanced scenes.
 """
 
 import numpy as np
 import jax.numpy as jnp
-import pytest
 
-from nexus_tpu.accel import bvh2 as bvh2_mod
-from nexus_tpu.accel import traverse2
-from nexus_tpu.accel.traverse2 import device_arrays
-from nexus_tpu.kernels import trace as ktrace
-
-from test_tlas import _random_mesh
+from nexus_tpu.kernels import trace_hbm as ktrace
+from nexus_tpu.scene import view
+from nexus_tpu.scene.camera import generate_rays
+from nexus_tpu.scene.scene import SceneBuilder
 
 
-def _scene(seed, n):
-    rng = np.random.default_rng(seed)
-    v0, v1, v2 = _random_mesh(rng, n, scale=1.5)
-    bvh = bvh2_mod.build(v0, v1, v2, leaf_size=3)
-    base = device_arrays(bvh, v0, v1, v2)
-    bt = ktrace.block_triangles(v0, v1, v2, order=bvh.tri_order)
-    return base, bt, rng
+def _cornell(instanced=False):
+    from nexus_tpu.io.loader import add_model
+
+    b = SceneBuilder()
+    add_model(b, "/root/reference/Nexus/assets/demo_scenes/cornell_box/"
+                 "cornell_box.glb")
+    b.set_camera(position=(0.0, 1.0, 3.4), look_at=(0.0, 1.0, 0.0),
+                 hfov_deg=50.0, width=24, height=24)
+    return b.build()
 
 
-def _rays(rng, n_rays):
-    o = rng.uniform(-4, 4, (n_rays, 3)).astype(np.float32)
-    target = rng.uniform(-1.5, 1.5, (n_rays, 3)).astype(np.float32)
-    d = target - o
-    d /= np.linalg.norm(d, axis=-1, keepdims=True)
-    return jnp.asarray(o), jnp.asarray(d.astype(np.float32))
+def _instanced_scene():
+    rng = np.random.default_rng(11)
+    b = SceneBuilder()
+    mid = b.add_material(albedo=(0.7, 0.7, 0.7))
+    v = rng.uniform(-0.5, 0.5, (40, 3)).astype(np.float32)
+    f = rng.integers(0, 40, (60, 3))
+    mesh = b.add_mesh_asset(v, f, name="blob")
+    for k in range(4):
+        m = np.eye(4, dtype=np.float32)
+        m[:3, 3] = [k - 1.5, 0.0, -2.0]
+        b.add_instance(mesh, mid, m)
+    b.set_camera(position=(0.0, 0.0, 2.0), look_at=(0.0, 0.0, -2.0),
+                 width=24, height=24)
+    return b.build_instanced()
 
 
-@pytest.mark.parametrize("seed,n", [(0, 100), (1, 300)])
-def test_closest_matches_stack(seed, n):
-    base, bt, rng = _scene(seed, n)
-    o, d = _rays(rng, 640)
-    t, slot = ktrace.closest_hit_blocks(bt, o, d, interpret=True)
-    tri = np.where(np.asarray(slot) >= 0,
-                   np.asarray(bt.to_global)[np.maximum(np.asarray(slot), 0)],
-                   -1)
-    ref = traverse2.closest_hit(base, o, d)
-    hit_ref = np.asarray(ref.hit)
-    np.testing.assert_array_equal(tri >= 0, hit_ref)
-    assert hit_ref.sum() > 50
-    np.testing.assert_allclose(np.asarray(t)[hit_ref],
-                               np.asarray(ref.t)[hit_ref],
-                               rtol=1e-4, atol=1e-5)
-    assert (tri[hit_ref] == np.asarray(ref.tri_idx)[hit_ref]).mean() > 0.99
-
-
-def test_any_hit_matches_stack():
-    base, bt, rng = _scene(3, 200)
-    o, d = _rays(rng, 640)
-    t_max = jnp.asarray(rng.uniform(0.5, 10.0, 640).astype(np.float32))
-    a = np.asarray(traverse2.any_hit(base, o, d, t_max))
-    b = np.asarray(ktrace.any_hit_blocks(bt, o, d, t_max, interpret=True))
-    np.testing.assert_array_equal(a, b)
-    assert a.sum() > 30
-
-
-def test_padding_is_inert():
-    """Degenerate padding triangles must never be hit (n not a multiple
-    of CHUNK exercises the padded tail)."""
-    base, bt, rng = _scene(5, ktrace.CHUNK + 7)
-    o, d = _rays(rng, 512)
-    t, slot = ktrace.closest_hit_blocks(bt, o, d, interpret=True)
-    slot = np.asarray(slot)
-    n_real = ktrace.CHUNK + 7
-    # Hits may only reference real triangles.
-    blocked_real = np.asarray(bt.to_global)
-    assert (slot < bt.n_blocks * ktrace.CHUNK).all()
-    hit = slot >= 0
-    tri = blocked_real[np.maximum(slot, 0)]
-    assert (tri[hit] < n_real).all() and (tri[hit] >= 0).all()
+def _camera_rays(scene):
+    n = scene.camera.width * scene.camera.height
+    pix = jnp.arange(n, dtype=jnp.int32)
+    u = jnp.full((n, 4), 0.5, jnp.float32)
+    ray = generate_rays(scene.camera, pix, u)
+    return ray.origin, ray.direction
 
 
 def test_view_dispatch_cpu_uses_links():
     """On CPU the scene view must NOT route to the Pallas kernel."""
-    from nexus_tpu.scene import view
-    from nexus_tpu.scene.scene import SceneBuilder
-
     b = SceneBuilder()
     mid = b.add_material()
     tri = np.array([[-1, -1, -2], [1, -1, -2], [0, 1, -2]], np.float32)
@@ -94,3 +64,77 @@ def test_view_dispatch_cpu_uses_links():
     d = jnp.asarray([[0.0, 0.0, -1.0]], jnp.float32)
     it = view.closest_hit(s, o, d)
     np.testing.assert_allclose(np.asarray(it.t), [2.0], rtol=1e-5)
+
+
+def test_pallas_route_matches_links_flat():
+    """view._pallas_closest (the TPU route, interpret mode) ==
+    view.closest_hit (the CPU skip-link route) on Cornell camera rays."""
+    s = _cornell()
+    o, d = _camera_rays(s)
+    ref = view.closest_hit(s, o, d)
+    got = view._pallas_closest(s, o, d, interpret=True)
+    hit = np.asarray(ref.hit)
+    assert (np.asarray(got.hit) == hit).all()
+    np.testing.assert_allclose(np.asarray(got.t)[hit],
+                               np.asarray(ref.t)[hit], rtol=1e-4, atol=1e-5)
+    assert (np.asarray(got.tri_idx)[hit]
+            == np.asarray(ref.tri_idx)[hit]).all()
+
+
+def test_pallas_route_matches_links_instanced():
+    s = _instanced_scene()
+    assert s.is_instanced and s.blocked is not None and s.blocked.instanced
+    o, d = _camera_rays(s)
+    ref = view.closest_hit(s, o, d)
+    got = view._pallas_closest(s, o, d, interpret=True)
+    hit = np.asarray(ref.hit)
+    assert (np.asarray(got.hit) == hit).all()
+    np.testing.assert_allclose(np.asarray(got.t)[hit],
+                               np.asarray(ref.t)[hit], rtol=1e-4, atol=1e-4)
+    assert (np.asarray(got.tri_idx)[hit]
+            == np.asarray(ref.tri_idx)[hit]).all()
+    assert (np.asarray(got.inst_idx)[hit]
+            == np.asarray(ref.inst_idx)[hit]).all()
+
+
+def test_padding_is_inert():
+    """Hits may only reference real triangles even when the count is
+    not a CHUNK multiple (degenerate padding rejected by det=0)."""
+    rng = np.random.default_rng(5)
+    n_real = ktrace.CHUNK + 7
+    c = rng.uniform(-1.5, 1.5, (n_real, 3)).astype(np.float32)
+    v0 = c + rng.normal(0, 0.2, (n_real, 3)).astype(np.float32)
+    v1 = c + rng.normal(0, 0.2, (n_real, 3)).astype(np.float32)
+    v2 = c + rng.normal(0, 0.2, (n_real, 3)).astype(np.float32)
+    from nexus_tpu.accel import bvh2
+    bvh = bvh2.build(v0, v1, v2, leaf_size=3)
+    bs = ktrace.build_blocked_flat(v0, v1, v2, bvh.tri_order)
+    o_np = rng.uniform(-4, 4, (512, 3)).astype(np.float32)
+    target = rng.uniform(-1.5, 1.5, (512, 3)).astype(np.float32)
+    d = target - o_np
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o = jnp.asarray(o_np)
+    t, slot, _ = ktrace.closest_hit_scene(bs, o, jnp.asarray(d),
+                                          interpret=True)
+    slot = np.asarray(slot)
+    hit = slot >= 0
+    assert hit.sum() > 30
+    tri = np.asarray(bs.to_global)[np.maximum(slot, 0)]
+    assert (tri[hit] < n_real).all() and (tri[hit] >= 0).all()
+
+
+def test_parked_rays_miss():
+    """Rays parked at +1e30 (dead wavefront lanes) must report miss and
+    must not poison their tile's conservative bounds."""
+    s = _cornell()
+    o, d = _camera_rays(s)
+    n = o.shape[0]
+    parked = (np.arange(n) % 3) == 0
+    o_mixed = jnp.where(jnp.asarray(parked)[:, None], 1.0e30, o)
+    ref = view.closest_hit(s, o, d)
+    got = view._pallas_closest(s, o_mixed, d, interpret=True)
+    live = ~parked & np.asarray(ref.hit)
+    assert (~np.asarray(got.hit)[parked]).all()
+    np.testing.assert_allclose(np.asarray(got.t)[live],
+                               np.asarray(ref.t)[live],
+                               rtol=1e-4, atol=1e-5)
