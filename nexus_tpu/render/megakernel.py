@@ -31,6 +31,8 @@ flow through radiance values, not through the decisions themselves.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -388,17 +390,35 @@ def render_sample(scene: SceneData, settings: RenderSettings,
                          jnp.arange(n_pix, dtype=jnp.int32), sample_idx)
 
 
+@functools.partial(jax.jit, static_argnames=("settings",))
+def _render_one(scene, settings, sample_idx):
+    """Module-level jit cache: one compilation per (scene treedef,
+    settings) — NOT per render() call (a fresh jit closure per call
+    would recompile every invocation)."""
+    return render_sample(scene, settings, sample_idx)
+
+
+@functools.partial(jax.jit, static_argnames=("settings", "n_samples"))
+def _render_fused(scene, settings, n_samples, sample_offset):
+    """All n_samples in ONE dispatch: lax.scan over sample indices.
+    sample_offset is traced, so resuming at a different offset does not
+    recompile."""
+    n_pix = scene.camera.width * scene.camera.height
+    pix = jnp.arange(n_pix, dtype=jnp.int32)
+
+    def body(acc, s):
+        return acc + render_pixels(scene, settings, pix,
+                                   sample_offset + s), None
+
+    acc, _ = lax.scan(body, jnp.zeros((n_pix, 3), jnp.float32),
+                      jnp.arange(n_samples, dtype=jnp.uint32))
+    return acc / n_samples
+
+
 def render(scene: SceneData, settings: RenderSettings, n_samples: int,
            sample_offset: int = 0) -> jnp.ndarray:
     """Progressive-mean accumulation over n_samples (AccumulateKernel
     semantics, PathTracer.cu:489-492). Returns (H, W, 3) HDR."""
-
-    @jax.jit
-    def one(scene, sample_idx):
-        return render_sample(scene, settings, sample_idx)
-
-    acc = None
-    for s in range(n_samples):
-        r = one(scene, jnp.uint32(sample_offset + s))
-        acc = r if acc is None else acc + (r - acc) / (s + 1)
+    acc = _render_fused(scene, settings, n_samples,
+                        jnp.uint32(sample_offset))
     return acc.reshape(scene.camera.height, scene.camera.width, 3)

@@ -29,6 +29,8 @@ Radiance is unsorted back to pixel order with one scatter at the end.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -89,20 +91,28 @@ def render_pixels(scene: SceneData, settings: RenderSettings,
     return out.at[lane_pix].set(ps.radiance)
 
 
+@functools.partial(jax.jit, static_argnames=("settings", "n_samples"))
+def _render_fused(scene, settings, n_samples, sample_offset):
+    """All n_samples in ONE dispatch (lax.scan over sample indices),
+    cached at module level — a fresh jit closure per render() call
+    would recompile every invocation. sample_offset is traced so
+    resuming does not recompile."""
+    n_pix = scene.camera.width * scene.camera.height
+    pix = jnp.arange(n_pix, dtype=jnp.int32)
+
+    def body(acc, s):
+        return acc + render_pixels(scene, settings, pix,
+                                   sample_offset + s), None
+
+    acc, _ = jax.lax.scan(body, jnp.zeros((n_pix, 3), jnp.float32),
+                          jnp.arange(n_samples, dtype=jnp.uint32))
+    return acc / n_samples
+
+
 def render(scene: SceneData, settings: RenderSettings, n_samples: int,
            sample_offset: int = 0) -> jnp.ndarray:
     """Progressive-mean accumulation (AccumulateKernel semantics,
     PathTracer.cu:489-492) over the wavefront pipeline."""
-
-    @jax.jit
-    def one(scene, sample_idx):
-        n_pix = scene.camera.width * scene.camera.height
-        return render_pixels(scene, settings,
-                             jnp.arange(n_pix, dtype=jnp.int32),
-                             sample_idx)
-
-    acc = None
-    for s in range(n_samples):
-        r = one(scene, jnp.uint32(sample_offset + s))
-        acc = r if acc is None else acc + (r - acc) / (s + 1)
+    acc = _render_fused(scene, settings, n_samples,
+                        jnp.uint32(sample_offset))
     return acc.reshape(scene.camera.height, scene.camera.width, 3)
