@@ -132,12 +132,16 @@ def add_model_instanced(builder: SceneBuilder, path: str | Path) -> list[int]:
         from nexus_tpu.io import obj
 
         mesh = obj.load(path)
-        mat_id = builder.add_material()
-        asset = builder.add_mesh_asset(
-            vertices=mesh.positions, faces=mesh.faces,
-            normals=mesh.normals, uvs=mesh.uvs, name=path.stem)
-        return [builder.add_instance(asset, material_id=mat_id,
-                                     name=path.stem)]
+        inst_ids = []
+        for k, (faces, mat_id) in enumerate(
+                _obj_material_groups(builder, mesh, path)):
+            asset = builder.add_mesh_asset(
+                vertices=mesh.positions, faces=faces,
+                normals=mesh.normals, uvs=mesh.uvs,
+                name=f"{path.stem}/{k}")
+            inst_ids.append(builder.add_instance(
+                asset, material_id=mat_id, name=f"{path.stem}/{k}"))
+        return inst_ids
     raise ValueError(f"unsupported model format: {suffix}")
 
 
@@ -170,12 +174,63 @@ def load_env_map(builder: SceneBuilder, path: str | Path,
     builder.set_env_map(_decode_image_srgb(raw)[..., :3])
 
 
+def _convert_obj_material(builder: SceneBuilder, m, obj_dir: Path) -> int:
+    """MTL record → scene material with the reference's conversion
+    heuristics (OBJLoader.cpp:71-163): default PLASTIC, albedo=Kd,
+    emission=Ke, opacity=d, ior=Ni (default 1.45), roughness =
+    clamp(1 - sqrt(Ns)/31.62278, 0, 1) with Ns defaulting to 20 when
+    unspecified, map_Kd/map_Ke textures. The reference flips PLASTIC →
+    DIELECTRIC on a positive Assimp transmission factor (plain MTL has
+    none); the OBJ-native analog is the refractive illum models 4/6/7/9.
+    """
+    from nexus_tpu.scene.materials import DIELECTRIC, PLASTIC
+
+    ns = 20.0 if m.ns is None else m.ns
+    roughness = float(np.clip(1.0 - np.sqrt(max(ns, 0.0)) / 31.62278,
+                              0.0, 1.0))
+    mtype = DIELECTRIC if m.illum in (4, 6, 7, 9) else PLASTIC
+
+    def tex(rel):
+        if not rel:
+            return -1
+        p = obj_dir / rel
+        if not p.exists():
+            return -1
+        return builder.add_texture(_decode_image_srgb(p.read_bytes()))
+
+    return builder.add_material(
+        mtype=mtype, albedo=m.kd, emission=m.ke, intensity=1.0,
+        opacity=m.d, ior=m.ni, roughness=roughness,
+        diffuse_map=tex(m.map_kd), emissive_map=tex(m.map_ke))
+
+
+def _obj_material_groups(builder: SceneBuilder, mesh, path: Path):
+    """Map MTL records to scene materials and split faces by material.
+    Yields (faces, material_id) per group; faces with no usemtl get the
+    default material (OBJLoader.cpp:79)."""
+    mat_ids = [_convert_obj_material(builder, m, path.parent)
+               for m in mesh.materials]
+    fm = mesh.face_material
+    if fm is None or len(mat_ids) == 0 or (fm < 0).all():
+        yield mesh.faces, builder.add_material()
+        return
+    default_id = None
+    for g in np.unique(fm):
+        faces = mesh.faces[fm == g]
+        if g < 0:
+            if default_id is None:
+                default_id = builder.add_material()
+            yield faces, default_id
+        else:
+            yield faces, mat_ids[g]
+
+
 def _add_obj(builder: SceneBuilder, path: Path) -> list[int]:
     from nexus_tpu.io import obj
 
     mesh = obj.load(path)
-    mat_id = builder.add_material()  # default material (OBJLoader.cpp:79)
     return [builder.add_mesh(
-        vertices=mesh.positions, faces=mesh.faces,
-        material_id=mat_id, normals=mesh.normals, uvs=mesh.uvs,
-        name=path.stem)]
+        vertices=mesh.positions, faces=faces, material_id=mat_id,
+        normals=mesh.normals, uvs=mesh.uvs, name=f"{path.stem}/{k}")
+        for k, (faces, mat_id) in enumerate(
+            _obj_material_groups(builder, mesh, path))]

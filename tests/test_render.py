@@ -112,3 +112,57 @@ class TestObjLoader:
         from nexus_tpu.io.obj import load
         mesh = load(obj)
         assert mesh.faces.shape == (2, 3)
+
+    def _write_mtl_scene(self, tmp_path):
+        (tmp_path / "scene.mtl").write_text(
+            "newmtl red\nKd 0.9 0.1 0.1\nNs 400\n\n"
+            "newmtl glass\nKd 1 1 1\nNi 1.5\nillum 7\n\n"
+            "newmtl lamp\nKd 0 0 0\nKe 4 4 4\n")
+        obj = tmp_path / "scene.obj"
+        obj.write_text(
+            "mtllib scene.mtl\n"
+            "v 0 0 0\nv 1 0 0\nv 0 1 0\nv 1 1 0\n"
+            "usemtl red\nf 1 2 3\n"
+            "usemtl glass\nf 2 4 3\n"
+            "usemtl lamp\nf 1 3 4\n"
+            "usemtl nosuch\nf 1 2 4\n")
+        return obj
+
+    def test_mtl_materials(self, tmp_path):
+        """MTL conversion parity with OBJLoader.cpp:71-163: PLASTIC
+        default, refractive illum → DIELECTRIC, Ke → emissive,
+        Ns → roughness, unknown usemtl → default material."""
+        from nexus_tpu.io.loader import add_model
+        from nexus_tpu.scene.materials import DIELECTRIC, PLASTIC
+        from nexus_tpu.scene.scene import SceneBuilder
+
+        b = SceneBuilder()
+        ids = add_model(b, self._write_mtl_scene(tmp_path))
+        assert len(ids) == 4                    # one submesh per material
+        b.set_camera(position=(0.5, 0.5, 2.0), look_at=(0.5, 0.5, 0.0),
+                     width=8, height=8)
+        s = b.build()
+        mats = np.asarray(s.materials.mtype)
+        alb = np.asarray(s.materials.albedo)
+        rough = np.asarray(s.materials.roughness)
+        emis = np.asarray(s.materials.emission)
+        red = np.nonzero((alb[:, 0] > 0.8) & (alb[:, 1] < 0.2))[0]
+        assert len(red) == 1 and mats[red[0]] == PLASTIC
+        # Ns=400 → roughness = 1 - sqrt(400)/31.62278 ≈ 0.3675
+        np.testing.assert_allclose(rough[red[0]], 0.36754, atol=1e-4)
+        assert (mats == DIELECTRIC).sum() == 1
+        assert (emis.max(axis=1) > 1.0).sum() == 1
+        # Emissive submesh auto-registered as a light (Scene.cpp:142-176).
+        assert s.n_lights == 1
+
+    def test_mtl_instanced_load(self, tmp_path):
+        from nexus_tpu.io.loader import add_model_instanced
+        from nexus_tpu.scene.scene import SceneBuilder
+
+        b = SceneBuilder()
+        ids = add_model_instanced(b, self._write_mtl_scene(tmp_path))
+        assert len(ids) == 4
+        b.set_camera(position=(0.5, 0.5, 2.0), look_at=(0.5, 0.5, 0.0),
+                     width=8, height=8)
+        s = b.build_instanced()
+        assert s.is_instanced
