@@ -24,30 +24,57 @@ import numpy as np
 
 @flax.struct.dataclass
 class TextureAtlas:
-    data: jnp.ndarray   # (T, H, W, 4) float32, padded to max dims
-    size: jnp.ndarray   # (T, 2) int32 — (height, width) per texture
+    """All textures shelf-packed into ONE (H, W, 4) sheet.
+
+    A (T, H_max, W_max, 4) layout would cost max-dims × count — one 2K
+    texture forces every 256px texture to 2K (16x waste on mixed sets).
+    The single sheet costs ~sum of areas; wrap addressing stays exact
+    because coordinates are wrapped in the texture's own rect before the
+    sheet offset is applied.
+    """
+    data: jnp.ndarray   # (H, W, 4) float32 sheet
+    rect: jnp.ndarray   # (T, 4) int32 — (y0, x0, h, w) per texture
 
     @property
     def count(self) -> int:
-        return self.data.shape[0]
+        return self.rect.shape[0]
 
 
 def build_atlas(images: list) -> TextureAtlas:
-    """Pack (H_i, W_i, 4) float32 arrays into one padded atlas.
+    """Shelf-pack (H_i, W_i, 4) float32 arrays into one sheet.
 
-    Always returns a non-empty atlas (a 1×1 white texel when no textures
-    exist) so sampling code needs no empty-case branches.
+    Textures are sorted by height (descending) and placed left-to-right
+    in rows ("shelves") of a sheet whose width is the widest texture
+    rounded up to a multiple of 128 (TPU lane alignment). Waste is the
+    per-shelf height slack — bounded and small for size-class-sorted
+    inputs, vs max×count for the padded layout. Always returns a
+    non-empty atlas (a 1×1 white texel when no textures exist) so
+    sampling needs no empty-case branches.
     """
     if not images:
         images = [np.ones((1, 1, 4), np.float32)]
-    h = max(im.shape[0] for im in images)
-    w = max(im.shape[1] for im in images)
-    data = np.zeros((len(images), h, w, 4), np.float32)
-    size = np.zeros((len(images), 2), np.int32)
+    order = sorted(range(len(images)), key=lambda i: -images[i].shape[0])
+    sheet_w = max(128, -(-max(im.shape[1] for im in images) // 128) * 128)
+
+    rect = np.zeros((len(images), 4), np.int32)
+    shelf_y = 0          # top of current shelf
+    shelf_h = 0          # height of current shelf
+    cur_x = 0
+    for i in order:
+        h, w = images[i].shape[0], images[i].shape[1]
+        if cur_x + w > sheet_w:                 # new shelf
+            shelf_y += shelf_h
+            shelf_h, cur_x = 0, 0
+        rect[i] = (shelf_y, cur_x, h, w)
+        cur_x += w
+        shelf_h = max(shelf_h, h)
+    sheet_h = shelf_y + shelf_h
+
+    data = np.zeros((sheet_h, sheet_w, 4), np.float32)
     for i, im in enumerate(images):
-        data[i, :im.shape[0], :im.shape[1]] = im
-        size[i] = (im.shape[0], im.shape[1])
-    return TextureAtlas(data=jnp.asarray(data), size=jnp.asarray(size))
+        y0, x0, h, w = rect[i]
+        data[y0:y0 + h, x0:x0 + w] = im
+    return TextureAtlas(data=jnp.asarray(data), rect=jnp.asarray(rect))
 
 
 def sample(atlas: TextureAtlas, tex_id: jnp.ndarray,
@@ -58,8 +85,11 @@ def sample(atlas: TextureAtlas, tex_id: jnp.ndarray,
     multiply or select). Returns (..., 4) RGBA.
     """
     tid = jnp.maximum(tex_id, 0)
-    hw = atlas.size[tid].astype(jnp.float32)       # (..., 2) = (h, w)
-    h, w = hw[..., 0], hw[..., 1]
+    r = atlas.rect[tid]                            # (..., 4)
+    y0r = r[..., 0]
+    x0r = r[..., 1]
+    h = r[..., 2].astype(jnp.float32)
+    w = r[..., 3].astype(jnp.float32)
 
     # CUDA linear filtering: sample point at uv*size - 0.5, texel centers
     # on integers after the shift.
@@ -73,13 +103,14 @@ def sample(atlas: TextureAtlas, tex_id: jnp.ndarray,
     def wrap(i, n):
         return jnp.mod(i.astype(jnp.int32), jnp.maximum(n.astype(jnp.int32), 1))
 
-    x0i, x1i = wrap(x0, w), wrap(x0 + 1, w)
-    y0i, y1i = wrap(y0, h), wrap(y0 + 1, h)
+    # Wrap INSIDE the texture's rect, then offset into the sheet.
+    x0i, x1i = x0r + wrap(x0, w), x0r + wrap(x0 + 1, w)
+    y0i, y1i = y0r + wrap(y0, h), y0r + wrap(y0 + 1, h)
 
-    c00 = atlas.data[tid, y0i, x0i]
-    c10 = atlas.data[tid, y0i, x1i]
-    c01 = atlas.data[tid, y1i, x0i]
-    c11 = atlas.data[tid, y1i, x1i]
+    c00 = atlas.data[y0i, x0i]
+    c10 = atlas.data[y0i, x1i]
+    c01 = atlas.data[y1i, x0i]
+    c11 = atlas.data[y1i, x1i]
     col = (c00 * (1 - fx) * (1 - fy) + c10 * fx * (1 - fy)
            + c01 * (1 - fx) * fy + c11 * fx * fy)
 

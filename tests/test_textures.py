@@ -172,3 +172,36 @@ class TestTexturedRender:
         # Fully transparent texture: rays pass through to the background.
         np.testing.assert_allclose(img[..., 2], 1.0, atol=1e-5)
         assert img[..., 0].max() < 1e-5
+
+
+class TestAtlasPacking:
+    def test_mixed_sizes_cost_sum_not_max(self):
+        """One 1024px texture among 256px ones must not inflate every
+        slot to 1024 (the old padded layout cost max-dims x count)."""
+        from nexus_tpu.scene.textures import build_atlas
+
+        images = [np.ones((1024, 1024, 4), np.float32)] + [
+            np.full((256, 256, 4), i / 8.0, np.float32) for i in range(8)]
+        atlas = build_atlas(images)
+        total = atlas.data.shape[0] * atlas.data.shape[1]
+        area = sum(im.shape[0] * im.shape[1] for im in images)
+        padded = 9 * 1024 * 1024
+        assert total < area * 2, (total, area)
+        assert total < padded / 4
+
+    def test_packed_sampling_exact(self):
+        """Center-texel samples from every packed texture return that
+        texture's own content (no bleed across rects)."""
+        import jax.numpy as jnp
+
+        from nexus_tpu.scene.textures import build_atlas, sample
+
+        rng = np.random.default_rng(0)
+        images = [np.full((h, w, 4), v, np.float32)
+                  for v, (h, w) in enumerate([(64, 64), (16, 128),
+                                              (128, 16), (1, 1), (33, 7)])]
+        atlas = build_atlas(images)
+        for i in range(len(images)):
+            got = np.asarray(sample(atlas, jnp.int32(i),
+                                    jnp.asarray([0.5, 0.5], jnp.float32)))
+            np.testing.assert_allclose(got, float(i), atol=1e-6)
