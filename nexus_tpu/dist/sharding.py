@@ -52,27 +52,33 @@ def render_sharded(scene: SceneData, settings: RenderSettings,
     mesh = mesh or make_mesh()
     n_dev = mesh.devices.size
     n_pix = scene.camera.width * scene.camera.height
-    assert n_pix % n_dev == 0, (
-        f"{n_pix} pixels not divisible by {n_dev} devices")
+    # Pad the pixel axis to a device multiple (720p on 7 devices etc.);
+    # pad lanes re-trace pixel 0 and are sliced off after the render.
+    n_pad = -(-n_pix // n_dev) * n_dev
 
     pixel_sharding = NamedSharding(mesh, P(RAY_AXIS))
     replicated = NamedSharding(mesh, P())
 
     @functools.partial(jax.jit, out_shardings=pixel_sharding,
-                       static_argnames=("sample_idx",))
-    def one(scene, pixel_idx, sample_idx):
-        return megakernel.render_pixels(scene, settings, pixel_idx,
-                                        jnp.uint32(sample_idx))
+                       static_argnames=("n_samples",))
+    def run(scene, pixel_idx, n_samples, sample_offset):
+        def body(acc, s):
+            return acc + megakernel.render_pixels(
+                scene, settings, pixel_idx, sample_offset + s), None
+
+        acc, _ = jax.lax.scan(
+            body, jnp.zeros((pixel_idx.shape[0], 3), jnp.float32),
+            jnp.arange(n_samples, dtype=jnp.uint32))
+        return acc / n_samples
 
     scene_r = jax.device_put(scene, replicated)
-    pixel_idx = jax.device_put(jnp.arange(n_pix, dtype=jnp.int32),
-                               pixel_sharding)
+    pixel_idx = jax.device_put(
+        jnp.where(jnp.arange(n_pad) < n_pix,
+                  jnp.arange(n_pad), 0).astype(jnp.int32),
+        pixel_sharding)
 
-    acc = None
-    for s in range(n_samples):
-        r = one(scene_r, pixel_idx, sample_offset + s)
-        acc = r if acc is None else acc + (r - acc) / (s + 1)
-    return acc.reshape(scene.camera.height, scene.camera.width, 3)
+    acc = run(scene_r, pixel_idx, n_samples, jnp.uint32(sample_offset))
+    return acc[:n_pix].reshape(scene.camera.height, scene.camera.width, 3)
 
 
 def train_step(scene: SceneData, settings: RenderSettings,
