@@ -1,53 +1,85 @@
-"""Benchmark: Mrays/s on the megakernel forward path (real chip).
+"""Benchmark: Mrays/s forward AND backward on the real chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Ray counting follows the wavefront queue-occupancy definition (actual
 trace + shadow rays processed), NOT the reference's pixels/second counter
 (Nexus/src/Renderer/Panels/MetricsPanel.cpp:28,35 — SURVEY.md §8.6).
 The reference publishes no numbers (BASELINE.md), so vs_baseline is
-reported against the rays/s of the previous round when available
-(bench_history.json), else null.
+reported against the same config's rays/s of the previous round when
+available (bench_history.json), else null.
+
+Env knobs:
+  BENCH_CONFIG  primary config name (default cornell_sphere; one of
+                cornell_sphere | bunny | glass | instanced | interior)
+  BENCH_FULL=1  also run every other config and append each to history
+  BENCH_RES/BENCH_SPP/BENCH_BOUNCES  override the primary config shape
 """
 
 import json
 import os
 import sys
+import tempfile
 import time
 
 import numpy as np
 
 
-def main():
+def _configs():
+    """name -> (scene_fn, width, height, spp, bounces). Scene builders
+    imported lazily; resolutions follow BASELINE.json configs 1-5."""
+    from nexus_tpu import scenes
+
+    return {
+        "cornell_sphere": (lambda w, h: scenes.glass_scene(w, h),
+                           256, 256, 4, 4),
+        "bunny": (lambda w, h: scenes.bunny_scene(
+            tempfile.mkdtemp(prefix="bench_bunny"), w, h, subdiv=6),
+            256, 256, 4, 4),
+        "glass": (lambda w, h: scenes.glass_scene(w, h), 256, 256, 8, 6),
+        "instanced": (lambda w, h: scenes.instanced_env_scene(
+            w, h, n_inst=25, subdiv=4), 1280, 720, 1, 4),
+        "interior": (lambda w, h: scenes.interior_scene(
+            w, h, target_tris=1_000_000), 1920, 1080, 1, 4),
+    }
+
+
+def bench_config(name, spec, res_override=None, spp_override=None,
+                 bounces_override=None):
+    """Time forward and backward renders of one config on the device.
+    Returns a history record dict."""
     import jax
     import jax.numpy as jnp
 
     from nexus_tpu.core.config import RenderSettings
-    from nexus_tpu.io.loader import add_model
     from nexus_tpu.render.megakernel import count_rays
     from nexus_tpu.render.wavefront import render_pixels
-    from nexus_tpu.scene.scene import SceneBuilder
 
-    width = height = int(os.environ.get("BENCH_RES", "256"))
-    spp = int(os.environ.get("BENCH_SPP", "4"))
-    path_length = int(os.environ.get("BENCH_BOUNCES", "4"))
+    scene_fn, width, height, spp, bounces = spec
+    if res_override:
+        width = height = res_override
+    spp = spp_override or spp
+    bounces = bounces_override or bounces
 
-    b = SceneBuilder()
-    add_model(b, "/root/reference/Nexus/assets/demo_scenes/"
-                 "cornell_box_sphere/cornell_box_sphere.glb")
-    b.set_camera(position=(0.0, 1.0, 3.4), look_at=(0.0, 1.0, 0.0),
-                 hfov_deg=50.0, width=width, height=height)
-    scene = b.build()
+    scene = scene_fn(width, height)
     settings = RenderSettings(width=width, height=height,
-                              path_length=path_length)
-
+                              path_length=bounces)
     n_pix = width * height
     pixel_idx = jnp.arange(n_pix, dtype=jnp.int32)
 
-    fn = jax.jit(lambda s, p, i: render_pixels(s, settings, p, i))
-    # Warmup/compile
-    fn(scene, pixel_idx, jnp.uint32(0)).block_until_ready()
+    fwd = jax.jit(lambda s, p, i: render_pixels(s, settings, p, i))
 
-    # Count actual rays for one representative sample set.
+    def loss(materials, s, p, i):
+        img = render_pixels(s.replace(materials=materials), settings, p, i)
+        return jnp.mean(jnp.clip(img, 0.0, 10.0))
+
+    bwd = jax.jit(lambda s, p, i: jax.grad(loss, allow_int=True)(
+        s.materials, s, p, i))
+
+    t0 = time.perf_counter()
+    fwd(scene, pixel_idx, jnp.uint32(0)).block_until_ready()
+    compile_fwd = time.perf_counter() - t0
+
+    # Count actual rays for one representative sample set (not timed).
     counter = jax.jit(lambda s, p, i: count_rays(s, settings, p, i))
     totals = [counter(scene, pixel_idx, jnp.uint32(k)) for k in range(spp)]
     n_rays = float(sum(int(t) + int(sh) for t, sh in totals))
@@ -55,12 +87,62 @@ def main():
     t0 = time.perf_counter()
     out = None
     for k in range(spp):
-        out = fn(scene, pixel_idx, jnp.uint32(k))
+        out = fwd(scene, pixel_idx, jnp.uint32(k))
     out.block_until_ready()
-    dt = time.perf_counter() - t0
-
+    dt_fwd = time.perf_counter() - t0
     assert np.isfinite(np.asarray(out)).all(), "non-finite radiance"
-    mrays = n_rays / dt / 1e6
+
+    t0 = time.perf_counter()
+    g = bwd(scene, pixel_idx, jnp.uint32(0))
+    jax.block_until_ready(g)
+    compile_bwd = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for k in range(spp):
+        g = bwd(scene, pixel_idx, jnp.uint32(k))
+    jax.block_until_ready(g)
+    dt_bwd = time.perf_counter() - t0
+    finite = all(np.isfinite(np.asarray(x)).all()
+                 for x in jax.tree_util.tree_leaves(g)
+                 if np.issubdtype(np.asarray(x).dtype, np.floating))
+    assert finite, "non-finite gradients"
+
+    import jax as _jax
+    return {
+        "ts": time.time(), "config": name,
+        "value": n_rays / dt_fwd / 1e6, "unit": "Mrays/s",
+        "bwd_mrays": n_rays / dt_bwd / 1e6,
+        "res": width, "height": height, "spp": spp, "bounces": bounces,
+        "tris": int(scene.tri_count),
+        "compile_fwd_s": round(compile_fwd, 1),
+        "compile_bwd_s": round(compile_bwd, 1),
+        "backend": _jax.devices()[0].platform,
+    }
+
+
+def main():
+    if os.environ.get("NEXUS_BENCH_CPU"):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    primary = os.environ.get("BENCH_CONFIG", "cornell_sphere")
+    res = os.environ.get("BENCH_RES")
+    spp = os.environ.get("BENCH_SPP")
+    bounces = os.environ.get("BENCH_BOUNCES")
+    configs = _configs()
+
+    rec = bench_config(primary, configs[primary],
+                       int(res) if res else None,
+                       int(spp) if spp else None,
+                       int(bounces) if bounces else None)
+    records = [rec]
+    if os.environ.get("BENCH_FULL"):
+        for name, spec in configs.items():
+            if name != primary:
+                try:
+                    records.append(bench_config(name, spec))
+                except Exception as e:  # keep the primary result alive
+                    records.append({"ts": time.time(), "config": name,
+                                    "error": repr(e)[:200]})
 
     hist_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "bench_history.json")
@@ -69,22 +151,24 @@ def main():
     if os.path.exists(hist_path):
         try:
             history = json.load(open(hist_path))
-            if history:
-                vs_baseline = mrays / history[-1]["value"]
+            prev = [h for h in history
+                    if h.get("config", "cornell_sphere") == primary
+                    and "value" in h]
+            if prev:
+                vs_baseline = rec["value"] / prev[-1]["value"]
         except Exception:
             history = []
-    history.append({"ts": time.time(), "value": mrays, "unit": "Mrays/s",
-                    "res": width, "spp": spp, "bounces": path_length,
-                    "backend": jax.devices()[0].platform})
+    history.extend(records)
     try:
         json.dump(history, open(hist_path, "w"), indent=1)
     except OSError:
         pass
 
     print(json.dumps({
-        "metric": "Mrays/s/chip (wavefront fwd, cornell_box_sphere "
-                  f"{width}x{height}x{spp}spp, {path_length} bounces)",
-        "value": round(mrays, 3),
+        "metric": f"Mrays/s/chip fwd ({primary} {rec['res']}x"
+                  f"{rec['height']}x{rec['spp']}spp, {rec['bounces']} "
+                  f"bounces; bwd={rec['bwd_mrays']:.3f})",
+        "value": round(rec["value"], 3),
         "unit": "Mrays/s",
         "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
     }))

@@ -195,7 +195,15 @@ def _bounce(scene: SceneData, settings: RenderSettings, ps: _PathState,
     # instanced: transform + invT^T normals, material per instance) ----
     tri_id = isect.tri_idx
     inst_id = isect.inst_idx
-    uv = jnp.stack([isect.u, isect.v], axis=-1)
+    # Miss/dead lanes carry garbage barycentrics (refine() against an
+    # arbitrary triangle from a parked 1e30 origin can produce ~1e12
+    # ratios). Their radiance is masked out below, but hit_p built from
+    # them reaches d_sq ~ 1e24 whose VJP overflows to inf — and 0 * inf
+    # = NaN poisons gradients of everything that fed the PREVIOUS
+    # bounce's direction (roughness, ior). Zero them before any
+    # geometry derives from them.
+    uv = jnp.where(hit[..., None],
+                   jnp.stack([isect.u, isect.v], axis=-1), 0.0)
     v0, v1, v2 = view.tri_world_verts(scene, tri_id, inst_id)
     hit_p = barycentric(v0, v1, v2, uv)
     hn0, hn1, hn2 = view.tri_world_normals(scene, tri_id, inst_id)

@@ -36,7 +36,8 @@ class TestBuilder:
 
 
 class TestTraversalEquivalence:
-    @pytest.mark.parametrize("n,seed", [(37, 3), (2000, 4)])
+    @pytest.mark.parametrize("n,seed", [
+        (37, 3), pytest.param(2000, 4, marks=pytest.mark.slow)])
     def test_closest_matches_bvh2(self, n, seed):
         v0, v1, v2 = _soup(n, seed)
         a2 = traverse2.device_arrays(bvh2.build(v0, v1, v2), v0, v1, v2)

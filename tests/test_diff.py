@@ -12,6 +12,10 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # FD sweeps: minutes each; AD smoke
+# coverage for the default selection lives in test_render (albedo grad)
+# and test_dist (sharded train_step).
+
 from nexus_tpu.core.config import RenderSettings
 from nexus_tpu.diff.fd import fd_check
 from nexus_tpu.io.loader import add_model

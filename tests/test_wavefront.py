@@ -5,6 +5,7 @@ never paths — per-pixel RNG state rides the permutation, so the two
 integrators produce bit-identical images (verified on chip too)."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from nexus_tpu.core.config import RenderSettings
@@ -33,6 +34,7 @@ def test_matches_megakernel():
     np.testing.assert_allclose(c, a, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow  # shard-equivalence also covered by test_dist
 def test_pixel_subset_shardable():
     """render_pixels on a pixel shard matches the same rows of the full
     render (the dist contract, SURVEY.md §4 shard-equivalence)."""
