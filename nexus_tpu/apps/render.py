@@ -80,7 +80,47 @@ def build_parser() -> argparse.ArgumentParser:
                    help="continue from --checkpoint if it exists")
     p.add_argument("--seed", type=int, default=0,
                    help="sample-index offset")
+    p.add_argument("--query", nargs=2, type=int, default=None,
+                   metavar=("X", "Y"),
+                   help="print hit info (instance/material/triangle/"
+                        "position) at image pixel (x, y) and exit — the "
+                        "reference's click-to-pick (Renderer.cpp:131-142, "
+                        "PathTracer.cpp:310-317). (0,0) is the PNG's "
+                        "top-left.")
     return p
+
+
+def query_pixel(scene, x: int, y: int) -> dict:
+    """Trace one center ray through image pixel (x, y) and report what
+    it hits. Image coordinates match the written PNG (top-left origin);
+    the raw render buffer is y-up, hence the row flip."""
+    import jax.numpy as jnp
+
+    from nexus_tpu.geom.types import MISS_DISTANCE
+    from nexus_tpu.scene import view
+    from nexus_tpu.scene.camera import generate_rays
+
+    w, h = scene.camera.width, scene.camera.height
+    assert 0 <= x < w and 0 <= y < h, f"pixel ({x},{y}) outside {w}x{h}"
+    pix = jnp.asarray([(h - 1 - y) * w + x], jnp.int32)
+    ray = generate_rays(scene.camera, pix,
+                        jnp.full((1, 4), 0.5, jnp.float32))
+    it = view.closest_hit(scene, ray.origin, ray.direction)
+    hit = bool(np.asarray(it.t)[0] < MISS_DISTANCE)
+    out = {"pixel": [x, y], "hit": hit}
+    if hit:
+        tri = int(np.asarray(it.tri_idx)[0])
+        inst = int(np.asarray(it.inst_idx)[0])
+        t = float(np.asarray(it.t)[0])
+        mat = int(np.asarray(
+            view.material_id(scene, it.tri_idx, it.inst_idx))[0])
+        p = np.asarray(ray.origin)[0] + t * np.asarray(ray.direction)[0]
+        out.update(t=round(t, 6), triangle=tri, instance=inst,
+                   material=mat,
+                   position=[round(float(v), 6) for v in p],
+                   material_type=int(np.asarray(
+                       scene.materials.mtype)[mat]))
+    return out
 
 
 def load_scene(args):
@@ -118,6 +158,9 @@ def main(argv=None) -> int:
 
     t_load = time.perf_counter()
     scene = load_scene(args)
+    if args.query is not None:
+        print(json.dumps(query_pixel(scene, args.query[0], args.query[1])))
+        return 0
     settings = RenderSettings(width=args.width, height=args.height,
                               path_length=args.bounces,
                               use_mis=not args.no_mis)

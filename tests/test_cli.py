@@ -40,3 +40,24 @@ def test_render_resume_bitexact(tmp_path):
                         "--checkpoint", str(ck2)]) == 0
     oneshot = np.load(ck2)["acc"]
     np.testing.assert_allclose(resumed, oneshot, rtol=1e-6, atol=1e-7)
+
+
+def test_query_pixel(capsys):
+    """--query prints hit info and exits without rendering
+    (Renderer.cpp:131-142 click-to-pick analog)."""
+    assert main([GLB, "--width", "32", "--height", "32",
+                 "--camera-pos", "0", "1", "3.4",
+                 "--camera-lookat", "0", "1", "0",
+                 "--query", "16", "2"]) == 0
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["hit"] is True
+    # Top image rows look at the ceiling (y = 2).
+    assert info["position"][1] > 1.9
+    assert info["instance"] == 0 and info["material"] >= 0
+
+    assert main([GLB, "--width", "32", "--height", "32",
+                 "--camera-pos", "0", "1", "3.4",
+                 "--camera-lookat", "0", "1", "0",
+                 "--query", "16", "30"]) == 0
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["hit"] is False          # exits through the open front
