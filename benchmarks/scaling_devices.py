@@ -1,0 +1,62 @@
+"""Device-scaling efficiency of the sharded renderer (BASELINE.md:24,
+>80% linear target).
+
+Real multi-chip hardware is unavailable in this environment, so this
+measures 1 -> N VIRTUAL CPU devices: wall-clock per sharded render of a
+fixed total workload. Virtual devices share host cores, so the
+efficiency printed here UNDERSTATES real-chip scaling (there is real
+compute contention but zero ICI cost); its role is to prove the
+sharded path has no serialization or replication bombs — the same code
+path scales on real meshes (the forward render has zero collectives).
+
+Usage:  XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        PYTHONPATH=. python benchmarks/scaling_devices.py [--res 128]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--res", type=int, default=128)
+    ap.add_argument("--devices", type=int, nargs="+", default=[1, 2, 4, 8])
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from nexus_tpu import scenes
+    from nexus_tpu.core.config import RenderSettings
+    from nexus_tpu.dist import sharding
+
+    scene = scenes.glass_scene(args.res, args.res)
+    st = RenderSettings(width=args.res, height=args.res, path_length=3)
+
+    base_ms = None
+    for nd in args.devices:
+        if nd > len(jax.devices()):
+            print(json.dumps({"devices": nd, "skipped": "not enough"}))
+            continue
+        mesh = sharding.make_mesh(jax.devices()[:nd])
+        img = sharding.render_sharded(scene, st, n_samples=1, mesh=mesh)
+        img.block_until_ready()
+        t0 = time.perf_counter()
+        img = sharding.render_sharded(scene, st, n_samples=2, mesh=mesh)
+        img.block_until_ready()
+        dt = (time.perf_counter() - t0) / 2
+        if base_ms is None:
+            base_ms = dt * 1e3
+        eff = base_ms / (dt * 1e3) / nd
+        print(json.dumps({
+            "devices": nd, "ms_per_sample": round(dt * 1e3, 1),
+            "speedup": round(base_ms / (dt * 1e3), 2),
+            "efficiency": round(eff, 3)}), flush=True)
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, ".")
+    main()
