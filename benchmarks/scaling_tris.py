@@ -62,15 +62,18 @@ def main():
         d /= np.linalg.norm(d, axis=1, keepdims=True)
         o_j, d_j = jnp.asarray(o), jnp.asarray(d.astype(np.float32))
 
+        interp = jax.default_backend() != "tpu"   # Pallas CPU = interpret
         for tile_r in (args.tiles or [K.TILE_R]):
             t, slot, inst = K.closest_hit_scene(bs, o_j, d_j,
-                                                tile_r=tile_r)
+                                                tile_r=tile_r,
+                                                interpret=interp)
             t.block_until_ready()
             t0 = time.perf_counter()
             reps = 3
             for _ in range(reps):
                 t, slot, inst = K.closest_hit_scene(bs, o_j, d_j,
-                                                    tile_r=tile_r)
+                                                    tile_r=tile_r,
+                                                    interpret=interp)
             t.block_until_ready()
             dt = (time.perf_counter() - t0) / reps
             hits = int((np.asarray(slot) >= 0).sum())
