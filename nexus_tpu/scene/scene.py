@@ -79,6 +79,9 @@ class SceneData:
     # Blocked triangle layout for the HBM-resident Pallas trace kernel
     # (kernels/trace_hbm.py; flat AND instanced scenes, TPU backend):
     blocked: "object | None" = None
+    # CWBVH (8-wide compressed) arrays — built by build(accel="bvh8"),
+    # served by accel/traverse8.py (BVH8Traversal.cuh analog):
+    bvh8: "object | None" = None
     # Static (non-pytree) metadata: real light count (the arrays above are
     # padded to >=1 for well-formed gathers; n_lights is the truth).
     n_lights: int = flax.struct.field(pytree_node=False, default=0)
@@ -324,7 +327,16 @@ class SceneBuilder:
     def set_camera(self, **kw):
         self.camera = make_camera(**kw)
 
-    def build(self, leaf_size: int = 4) -> SceneData:
+    def build(self, leaf_size: int = 4, accel: str = "links") -> SceneData:
+        """Build the flat device scene.
+
+        accel selects the JAX-traversal structure serving closest/any
+        hit off the TPU fast path: "links" (stackless per-octant skip
+        links, the default) or "bvh8" (8-wide compressed CWBVH,
+        accel/bvh8.py + traverse8.py — BVH8Traversal.cuh analog). The
+        Pallas kernel still takes precedence on the TPU backend.
+        """
+        assert accel in ("links", "bvh8"), accel
         assert self._v0, "scene has no geometry"
         v0 = np.concatenate(self._v0)
         v1 = np.concatenate(self._v1)
@@ -339,6 +351,13 @@ class SceneBuilder:
                                       bvh.count)
         from nexus_tpu.kernels.trace_hbm import build_blocked_flat
         blocked = build_blocked_flat(v0, v1, v2, bvh.tri_order)
+        bvh8_arrays = None
+        if accel == "bvh8":
+            from nexus_tpu.accel import bvh8 as bvh8_mod
+            from nexus_tpu.accel import traverse8
+
+            bvh8_arrays = traverse8.device_arrays(
+                bvh8_mod.build(v0, v1, v2), v0, v1, v2)
 
         # Mesh lights: one light per emissive instance (Scene.cpp:142-176).
         emissive = np.asarray(
@@ -365,6 +384,7 @@ class SceneBuilder:
             links_hit=jnp.asarray(links.hit.reshape(-1)),
             links_miss=jnp.asarray(links.miss.reshape(-1)),
             blocked=blocked,
+            bvh8=bvh8_arrays,
             n0=jnp.asarray(np.concatenate(self._n0)),
             n1=jnp.asarray(np.concatenate(self._n1)),
             n2=jnp.asarray(np.concatenate(self._n2)),

@@ -51,6 +51,10 @@ def _use_pallas(scene) -> bool:
 def closest_hit(scene, ray_o, ray_d) -> Intersection:
     if _use_pallas(scene):
         return _pallas_closest(scene, ray_o, ray_d)
+    if scene.bvh8 is not None:       # CWBVH (build(accel="bvh8"))
+        from nexus_tpu.accel import traverse8
+
+        return traverse8.closest_hit(scene.bvh8, ray_o, ray_d)
     if scene.links_hit is not None:  # stackless skip-link fast path
         if scene.is_instanced:
             return traverse_links.closest_hit_tlas(_linked(scene),
@@ -86,6 +90,10 @@ def any_hit(scene, ray_o, ray_d, t_max) -> jnp.ndarray:
 
         args = jax.lax.stop_gradient((scene.blocked, ray_o, ray_d, t_max))
         return ktrace.any_hit_scene(*args)
+    if scene.bvh8 is not None:       # CWBVH (build(accel="bvh8"))
+        from nexus_tpu.accel import traverse8
+
+        return traverse8.any_hit(scene.bvh8, ray_o, ray_d, t_max)
     if scene.links_hit is not None:
         if scene.is_instanced:
             return traverse_links.any_hit_tlas(_linked(scene), ray_o,

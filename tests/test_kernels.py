@@ -138,3 +138,46 @@ def test_parked_rays_miss():
     np.testing.assert_allclose(np.asarray(got.t)[live],
                                np.asarray(ref.t)[live],
                                rtol=1e-4, atol=1e-5)
+
+
+import pytest
+
+
+@pytest.mark.slow  # CWBVH traversal compile ~2min on CPU
+def test_accel_bvh8_product_path():
+    """build(accel="bvh8") routes view dispatch through the CWBVH
+    traversal and renders identically to the default skip-link build
+    (BVH8Traversal.cuh-analog serving the actual product)."""
+    from nexus_tpu.io.loader import add_model
+
+    def build(accel):
+        b = SceneBuilder()
+        add_model(b, "/root/reference/Nexus/assets/demo_scenes/"
+                     "cornell_box/cornell_box.glb")
+        b.set_camera(position=(0.0, 1.0, 3.4), look_at=(0.0, 1.0, 0.0),
+                     hfov_deg=50.0, width=24, height=24)
+        return b.build(accel=accel)
+
+    s_links = build("links")
+    s_bvh8 = build("bvh8")
+    assert s_bvh8.bvh8 is not None
+    o, d = _camera_rays(s_links)
+    a = view.closest_hit(s_links, o, d)
+    bb = view.closest_hit(s_bvh8, o, d)
+    hit = np.asarray(a.hit)
+    assert (np.asarray(bb.hit) == hit).all()
+    np.testing.assert_allclose(np.asarray(bb.t)[hit],
+                               np.asarray(a.t)[hit], rtol=1e-5)
+    assert (np.asarray(bb.tri_idx)[hit] == np.asarray(a.tri_idx)[hit]).all()
+    # Shadow rays too.
+    occ_a = np.asarray(view.any_hit(s_links, o, d, 3.0))
+    occ_b = np.asarray(view.any_hit(s_bvh8, o, d, 3.0))
+    np.testing.assert_array_equal(occ_a, occ_b)
+
+    # End-to-end render parity through the public API.
+    from nexus_tpu.core.config import RenderSettings
+    from nexus_tpu.render.megakernel import render
+    st = RenderSettings(width=24, height=24, path_length=3)
+    img_l = np.asarray(render(s_links, st, n_samples=2))
+    img_8 = np.asarray(render(s_bvh8, st, n_samples=2))
+    np.testing.assert_allclose(img_l, img_8, rtol=1e-5, atol=1e-6)
