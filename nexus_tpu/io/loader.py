@@ -25,7 +25,19 @@ def add_model(builder: SceneBuilder, path: str | Path) -> list[int]:
         return _add_gltf(builder, path)
     if suffix == ".obj":
         return _add_obj(builder, path)
+    if suffix == ".ply":
+        return _add_ply(builder, path)
     raise ValueError(f"unsupported model format: {suffix}")
+
+
+def _add_ply(builder: SceneBuilder, path: Path) -> list[int]:
+    from nexus_tpu.io import ply
+
+    mesh = ply.load(path)
+    mat_id = builder.add_material()   # PLY carries no materials
+    return [builder.add_mesh(
+        vertices=mesh.positions, faces=mesh.faces, material_id=mat_id,
+        normals=mesh.normals, uvs=mesh.uvs, name=path.stem)]
 
 
 def _decode_image_srgb(raw: bytes) -> np.ndarray:

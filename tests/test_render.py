@@ -184,3 +184,74 @@ class TestObjLoader:
                      width=8, height=8)
         s = b.build_instanced()
         assert s.is_instanced
+
+
+class TestPlyLoader:
+    def _tetra(self):
+        v = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]],
+                     np.float32)
+        f = [[0, 2, 1], [0, 1, 3], [0, 3, 2], [1, 2, 3]]
+        return v, f
+
+    def test_ascii(self, tmp_path):
+        v, f = self._tetra()
+        p = tmp_path / "t.ply"
+        lines = ["ply", "format ascii 1.0",
+                 "element vertex 4",
+                 "property float x", "property float y",
+                 "property float z",
+                 "element face 4",
+                 "property list uchar int vertex_indices", "end_header"]
+        lines += [f"{a} {b} {c}" for a, b, c in v]
+        lines += ["3 " + " ".join(map(str, face)) for face in f]
+        p.write_text("\n".join(lines) + "\n")
+        from nexus_tpu.io.ply import load
+        mesh = load(p)
+        np.testing.assert_allclose(mesh.positions, v)
+        assert mesh.faces.shape == (4, 3)
+
+    def test_binary_little_endian(self, tmp_path):
+        import struct
+        v, f = self._tetra()
+        p = tmp_path / "t.ply"
+        hdr = ("ply\nformat binary_little_endian 1.0\n"
+               "element vertex 4\n"
+               "property float x\nproperty float y\nproperty float z\n"
+               "property float nx\nproperty float ny\nproperty float nz\n"
+               "element face 4\n"
+               "property list uchar int vertex_indices\nend_header\n")
+        body = b""
+        for a, b, c in v:
+            body += struct.pack("<6f", a, b, c, 0.0, 0.0, 1.0)
+        for face in f:
+            body += struct.pack("<B3i", 3, *face)
+        p.write_bytes(hdr.encode() + body)
+        from nexus_tpu.io.ply import load
+        mesh = load(p)
+        np.testing.assert_allclose(mesh.positions, v)
+        assert mesh.normals is not None
+        assert mesh.faces.shape == (4, 3)
+
+    def test_renders_through_loader(self, tmp_path):
+        """PLY -> add_model -> render end-to-end."""
+        v, f = self._tetra()
+        p = tmp_path / "t.ply"
+        lines = ["ply", "format ascii 1.0",
+                 "element vertex 4",
+                 "property float x", "property float y",
+                 "property float z",
+                 "element face 4",
+                 "property list uchar int vertex_indices", "end_header"]
+        lines += [f"{a} {b} {c}" for a, b, c in v]
+        lines += ["3 " + " ".join(map(str, face)) for face in f]
+        p.write_text("\n".join(lines) + "\n")
+        b = SceneBuilder()
+        add_model(b, p)
+        b.background_color = (1.0, 1.0, 1.0)
+        b.set_camera(position=(0.3, 0.3, 3.0), look_at=(0.3, 0.3, 0.0),
+                     width=16, height=16)
+        s = b.build()
+        img = np.asarray(render(
+            s, RenderSettings(width=16, height=16, path_length=2),
+            n_samples=1))
+        assert np.isfinite(img).all() and img.max() > 0
