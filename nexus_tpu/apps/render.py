@@ -74,6 +74,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--exposure", type=float, default=0.6,
                    help="tonemap exposure (PathTracer.cu:48)")
     p.add_argument("--metrics", default=None, help="metrics JSON path")
+    p.add_argument("--progressive", type=int, default=0, metavar="N",
+                   help="rewrite --out every N samples (live progressive "
+                        "display analog of the reference's GL "
+                        "accumulation blit, OpenGL/PixelBuffer.cpp; pair "
+                        "with apps/viewer.py to watch in a browser)")
     p.add_argument("--checkpoint", default=None,
                    help="progressive render state (.npz)")
     p.add_argument("--resume", action="store_true",
@@ -197,6 +202,14 @@ def main(argv=None) -> int:
         if args.checkpoint:
             np.savez(args.checkpoint, acc=acc, n_samples=s + 1,
                      seed=args.seed)
+        if args.progressive and ((s + 1) % args.progressive == 0
+                                 or s + 1 == args.spp):
+            write_png(args.out,
+                      acc.reshape(args.height, args.width, 3),
+                      exposure=args.exposure)
+            dt = sample_times[-1]
+            print(f"[{s + 1}/{args.spp} spp] {dt * 1e3:.0f} ms/sample "
+                  f"-> {args.out}", flush=True)
 
     img = acc.reshape(args.height, args.width, 3)
     assert np.isfinite(img).all(), "non-finite radiance in output"

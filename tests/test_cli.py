@@ -61,3 +61,41 @@ def test_query_pixel(capsys):
                  "--query", "16", "30"]) == 0
     info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert info["hit"] is False          # exits through the open front
+
+
+def test_progressive_updates_png(tmp_path, capsys):
+    out = tmp_path / "p.png"
+    assert main([GLB, "--width", "16", "--height", "16", "--bounces", "2",
+                 "--camera-pos", "0", "1", "3.4",
+                 "--camera-lookat", "0", "1", "0",
+                 "--out", str(out), "--spp", "4",
+                 "--progressive", "2"]) == 0
+    assert out.exists()
+    logs = capsys.readouterr().out
+    assert "[2/4 spp]" in logs and "[4/4 spp]" in logs
+
+
+def test_viewer_serves_png(tmp_path):
+    """The live viewer serves the page and the current PNG."""
+    import threading
+    import urllib.request
+
+    from nexus_tpu.apps import viewer
+
+    png = tmp_path / "r.png"
+    png.write_bytes(b"\x89PNG\r\n\x1a\nfakepng")
+    srv = viewer.make_server(png, port=0)
+    port = srv.server_port
+    t = threading.Thread(target=srv.handle_request)
+    t.start()
+    page = urllib.request.urlopen(
+        f"http://127.0.0.1:{port}/", timeout=10).read()
+    t.join(timeout=10)
+    assert b"nexus_tpu live render" in page
+    t = threading.Thread(target=srv.handle_request)
+    t.start()
+    img = urllib.request.urlopen(
+        f"http://127.0.0.1:{port}/image?t=1", timeout=10).read()
+    t.join(timeout=10)
+    srv.server_close()
+    assert img.startswith(b"\x89PNG")
