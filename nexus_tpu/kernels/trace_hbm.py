@@ -72,6 +72,11 @@ from nexus_tpu.geom.types import MISS_DISTANCE
 CHUNK = 128        # triangles per block == entries per AABB chunk (lanes)
 TILE_R = 256       # rays per grid step (sweep on v5e: 256 beats 128/512
 #                    at both 100k and 1M tris; benchmarks/scaling_tris.py)
+BATCH = 4          # triangle blocks popped/DMA'd/intersected per loop
+#                    iteration: the serial pop->DMA->wait->MT loop is
+#                    latency-bound (~5us/block on v5e), so K blocks per
+#                    iteration amortize the scalar machinery and keep K
+#                    DMAs in flight per buffer half
 _INF = 3.0e38
 _BIG = 1.0e37
 
@@ -434,6 +439,15 @@ def _entry_rays(instanced, inv_ref, ent_inst_ref, e,
     return tox, toy, toz, tdx, tdy, tdz, inst
 
 
+def _pop_batch(pop, c, cand, t_worst):
+    """Pop up to BATCH entries (front-packed; -1 once exhausted)."""
+    es = []
+    for _ in range(BATCH):
+        e, c, cand = pop(c, cand, t_worst)
+        es.append(e)
+    return jnp.stack(es), c, cand
+
+
 def _closest_kernel(instanced, nec,
                     ent_blk_ref, ent_inst_ref, inv_ref,   # SMEM
                     ray_ref, aabb_ref, tri_hbm,           # VMEM/VMEM/HBM
@@ -453,47 +467,54 @@ def _closest_kernel(instanced, nec,
         laneT = jax.lax.broadcasted_iota(jnp.int32, (t_ref.shape[0], CHUNK),
                                          1)
 
-        def dma(e, s):
+        def dma(e, s, k):
             b = ent_blk_ref[e]
-            return pltpu.make_async_copy(tri_hbm.at[b], buf.at[s],
-                                         sem.at[s])
+            return pltpu.make_async_copy(tri_hbm.at[b], buf.at[s, k],
+                                         sem.at[s, k])
 
-        e0, c0, cand0 = pop(jnp.int32(0), lo_ref[pl.ds(0, 1), :], _INF)
-
-        @pl.when(e0 >= 0)
-        def _():
-            dma(e0, 0).start()
+        es0, c0, cand0 = _pop_batch(pop, jnp.int32(0),
+                                    lo_ref[pl.ds(0, 1), :], _INF)
+        for k in range(BATCH):
+            @pl.when(es0[k] >= 0)
+            def _(k=k):
+                dma(es0[k], 0, k).start()
 
         def cond(s):
-            return s[0] >= 0
+            return s[0][0] >= 0
 
         def body(s):
-            e_cur, sl, c, cand = s
-            t_best = t_ref[:]
-            t_worst = jnp.max(jnp.where(valid, t_best, 0.0))
-            e_nxt, c, cand = pop(c, cand, t_worst)
+            es_cur, sl, c, cand = s
+            t_worst = jnp.max(jnp.where(valid, t_ref[:], 0.0))
+            es_nxt, c, cand = _pop_batch(pop, c, cand, t_worst)
+            for k in range(BATCH):
+                @pl.when(es_nxt[k] >= 0)
+                def _(k=k):
+                    dma(es_nxt[k], 1 - sl, k).start()
 
-            @pl.when(e_nxt >= 0)
-            def _():
-                dma(e_nxt, 1 - sl).start()
+            for k in range(BATCH):
+                @pl.when(es_cur[k] >= 0)
+                def _(k=k):
+                    e_cur = es_cur[k]
+                    dma(e_cur, sl, k).wait()
+                    t_best = t_ref[:]
+                    tox, toy, toz, tdx, tdy, tdz, inst = _entry_rays(
+                        instanced, inv_ref, ent_inst_ref, e_cur,
+                        ox, oy, oz, dx, dy, dz)
+                    t = _mt_block(buf.at[sl], k, tox, toy, toz,
+                                  tdx, tdy, tdz, t_best)
+                    t_min = jnp.min(t, axis=1, keepdims=True)
+                    kk = jnp.min(jnp.where(t == t_min, laneT, CHUNK),
+                                 axis=1, keepdims=True)
+                    better = t_min < t_best
+                    b = ent_blk_ref[e_cur]
+                    t_ref[:] = jnp.where(better, t_min, t_best)
+                    slot_ref[:] = jnp.where(better, b * CHUNK + kk,
+                                            slot_ref[:])
+                    if instanced:
+                        inst_ref[:] = jnp.where(better, inst, inst_ref[:])
+            return es_nxt, 1 - sl, c, cand
 
-            dma(e_cur, sl).wait()
-            tox, toy, toz, tdx, tdy, tdz, inst = _entry_rays(
-                instanced, inv_ref, ent_inst_ref, e_cur,
-                ox, oy, oz, dx, dy, dz)
-            t = _mt_block(buf, sl, tox, toy, toz, tdx, tdy, tdz, t_best)
-            t_min = jnp.min(t, axis=1, keepdims=True)
-            kk = jnp.min(jnp.where(t == t_min, laneT, CHUNK), axis=1,
-                         keepdims=True)
-            better = t_min < t_best
-            b = ent_blk_ref[e_cur]
-            t_ref[:] = jnp.where(better, t_min, t_best)
-            slot_ref[:] = jnp.where(better, b * CHUNK + kk, slot_ref[:])
-            if instanced:
-                inst_ref[:] = jnp.where(better, inst, inst_ref[:])
-            return e_nxt, 1 - sl, c, cand
-
-        jax.lax.while_loop(cond, body, (e0, jnp.int32(0), c0, cand0))
+        jax.lax.while_loop(cond, body, (es0, jnp.int32(0), c0, cand0))
 
 
 def _anyhit_kernel(instanced, nec,
@@ -512,44 +533,50 @@ def _anyhit_kernel(instanced, nec,
         ox, oy, oz = ray_ref[:, 0:1], ray_ref[:, 1:2], ray_ref[:, 2:3]
         dx, dy, dz = ray_ref[:, 3:4], ray_ref[:, 4:5], ray_ref[:, 5:6]
 
-        def dma(e, s):
+        def dma(e, s, k):
             b = ent_blk_ref[e]
-            return pltpu.make_async_copy(tri_hbm.at[b], buf.at[s],
-                                         sem.at[s])
+            return pltpu.make_async_copy(tri_hbm.at[b], buf.at[s, k],
+                                         sem.at[s, k])
 
         def t_open():
             # Worst open shadow distance; 0 once every valid ray is
             # occluded, which makes pop() return -1 -> early exit.
             return jnp.max(jnp.where(valid & ~hit_ref[:], tmax, 0.0))
 
-        e0, c0, cand0 = pop(jnp.int32(0), lo_ref[pl.ds(0, 1), :], t_open())
-
-        @pl.when(e0 >= 0)
-        def _():
-            dma(e0, 0).start()
+        es0, c0, cand0 = _pop_batch(pop, jnp.int32(0),
+                                    lo_ref[pl.ds(0, 1), :], t_open())
+        for k in range(BATCH):
+            @pl.when(es0[k] >= 0)
+            def _(k=k):
+                dma(es0[k], 0, k).start()
 
         def cond(s):
-            return s[0] >= 0
+            return s[0][0] >= 0
 
         def body(s):
-            e_cur, sl, c, cand = s
-            e_nxt, c, cand = pop(c, cand, t_open())
+            es_cur, sl, c, cand = s
+            es_nxt, c, cand = _pop_batch(pop, c, cand, t_open())
+            for k in range(BATCH):
+                @pl.when(es_nxt[k] >= 0)
+                def _(k=k):
+                    dma(es_nxt[k], 1 - sl, k).start()
 
-            @pl.when(e_nxt >= 0)
-            def _():
-                dma(e_nxt, 1 - sl).start()
+            for k in range(BATCH):
+                @pl.when(es_cur[k] >= 0)
+                def _(k=k):
+                    e_cur = es_cur[k]
+                    dma(e_cur, sl, k).wait()
+                    tox, toy, toz, tdx, tdy, tdz, _ = _entry_rays(
+                        instanced, inv_ref, ent_inst_ref, e_cur,
+                        ox, oy, oz, dx, dy, dz)
+                    cap = jnp.where(hit_ref[:], 0.0, tmax)
+                    t = _mt_block(buf.at[sl], k, tox, toy, toz,
+                                  tdx, tdy, tdz, cap)
+                    hit_ref[:] = hit_ref[:] | jnp.any(t < cap, axis=1,
+                                                      keepdims=True)
+            return es_nxt, 1 - sl, c, cand
 
-            dma(e_cur, sl).wait()
-            tox, toy, toz, tdx, tdy, tdz, _ = _entry_rays(
-                instanced, inv_ref, ent_inst_ref, e_cur,
-                ox, oy, oz, dx, dy, dz)
-            cap = jnp.where(hit_ref[:], 0.0, tmax)
-            t = _mt_block(buf, sl, tox, toy, toz, tdx, tdy, tdz, cap)
-            hit_ref[:] = hit_ref[:] | jnp.any(t < cap, axis=1,
-                                              keepdims=True)
-            return e_nxt, 1 - sl, c, cand
-
-        jax.lax.while_loop(cond, body, (e0, jnp.int32(0), c0, cand0))
+        jax.lax.while_loop(cond, body, (es0, jnp.int32(0), c0, cand0))
 
 
 # --------------------------------------------------------------------------
@@ -580,8 +607,8 @@ def _common_specs(nec, tile_r):
         pl.BlockSpec(memory_space=pl.ANY),
     ]
     scratch = [pltpu.VMEM((nec, CHUNK), jnp.float32),
-               pltpu.VMEM((2, 9, CHUNK), jnp.float32),
-               pltpu.SemaphoreType.DMA((2,))]
+               pltpu.VMEM((2, BATCH, 9, CHUNK), jnp.float32),
+               pltpu.SemaphoreType.DMA((2, BATCH))]
     return in_specs, scratch
 
 
