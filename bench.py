@@ -124,6 +124,9 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    from nexus_tpu.core.cache import enable_compile_cache
+
+    enable_compile_cache()
     primary = os.environ.get("BENCH_CONFIG", "cornell_sphere")
     res = os.environ.get("BENCH_RES")
     spp = os.environ.get("BENCH_SPP")

@@ -27,6 +27,9 @@ def main():
 
     import jax
 
+    from nexus_tpu.core.cache import enable_compile_cache
+    enable_compile_cache()
+
     jax.config.update("jax_platforms", "cpu")
 
     from nexus_tpu import scenes

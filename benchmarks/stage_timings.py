@@ -29,6 +29,8 @@ def timeit(fn, *args, reps=5):
 
 
 def main():
+    from nexus_tpu.core.cache import enable_compile_cache
+    enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--res", type=int, default=256)
     ap.add_argument("--scene", default="cornell_sphere",

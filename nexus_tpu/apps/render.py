@@ -157,6 +157,10 @@ def main(argv=None) -> int:
     import jax
     import jax.numpy as jnp
 
+    from nexus_tpu.core.cache import enable_compile_cache
+
+    enable_compile_cache()
+
     from nexus_tpu.core.config import RenderSettings
     from nexus_tpu.io.image import write_hdr, write_png
     from nexus_tpu.render import megakernel, wavefront

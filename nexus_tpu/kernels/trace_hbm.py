@@ -1,59 +1,76 @@
-"""HBM-resident, instance-aware Pallas trace kernels.
+"""HBM-resident, instance-aware Pallas trace kernels (v2: per-ray
+hierarchical culling).
 
-The scalable successor to kernels/trace.py (which keeps every triangle
-block as a whole-array VMEM operand and culls per-RAY — O(rays x blocks)
-work and O(scene) VMEM; fine to ~10k tris, impossible at 1M). This
-kernel is the TPU re-design of the reference's hierarchical traversal
-(Nexus/src/Cuda/BVH/BVH8Traversal.cuh:148-322, incl. the TLAS->BLAS
-instance transition at l.234-267):
+This kernel is the TPU re-design of the reference's hierarchical
+traversal (Nexus/src/Cuda/BVH/BVH8Traversal.cuh:148-322, incl. the
+TLAS->BLAS instance transition at l.234-267). v1 culled triangle blocks
+with a per-TILE conservative frustum (interval arithmetic + bounding
+cone) and pruned with the tile's WORST best-t; that degenerates on
+dense scenes — occluded interior blocks and tiles containing any
+background ray (best-t = inf) defeated the pruning, and every surviving
+block cost a serial pop->DMA->intersect step (measured 16x triangles ->
+~1300x slower). v2 replaces the frustum with EXACT per-ray slab tests
+at two hierarchy levels, each a single vectorized VPU pass:
 
   GPU reference                      TPU kernel (this file)
   ---------------------------------  ---------------------------------
-  per-thread CWBVH stack walk        per-TILE conservative interval
-                                     cull of block AABBs (one vector op
-                                     over ALL blocks, no per-ray work)
+  per-thread CWBVH stack walk        two-level per-ray interval tree:
+  (8 children tested per step,       one (TILE_R, 128) slab pass ranks
+  ordered by hit distance)           128 CHUNKS (=16k entries) per op;
+                                     a second pass ranks the 128
+                                     entries of the popped chunk
+  per-ray ordered stack + t-pruning  global near-to-far ordering with
+                                     PER-RAY best-t masks: an entry is
+                                     alive iff ANY ray's slab entry
+                                     distance beats THAT ray's best
+                                     hit; masks are recomputed from
+                                     live best-t every pop, so occluded
+                                     geometry dies as hits accumulate
   node fetch via __ldg               triangle blocks DMA'd HBM->VMEM on
-                                     demand, double-buffered; VMEM holds
-                                     O(tile), never O(scene)
-  ordered stack + t-pruning          nearest-entry-first extraction per
-                                     chunk + per-ray best-t pruning
-                                     (pop() skips every block whose
-                                     conservative entry >= the tile's
-                                     worst best-hit)
+                                     demand, BATCH at a time; VMEM
+                                     holds O(tile), never O(scene)
   TLAS leaf: transform ray into      per-ENTRY instance id: the tile's
   object space (cuh:246-249)         rays are transformed by the
-                                     instance inverse before the 128-wide
-                                     intersection; t is space-invariant
-                                     because the direction is NOT
-                                     renormalized (same convention as
-                                     accel/traverse_tlas.py)
+                                     instance inverse before the 128-
+                                     wide intersection; t is space-
+                                     invariant because the direction is
+                                     NOT renormalized (same convention
+                                     as accel/traverse_tlas.py)
 
 Memory layout (host-built by `build_blocked_flat` / `build_blocked_tlas`):
 
-  tri   (NBG, 9, 128) f32   HBM   one 128-triangle block per row, SAH
+  tri    (NBG, 9, 128) f32  HBM   one 128-triangle block per row, SAH
                                   (DFS) order per BLAS; rows are
                                   ax,ay,az,bx,by,bz,cx,cy,cz. Blocks are
                                   SHARED between instances of one BLAS —
                                   the instancing memory win survives.
-  aabb  (NEC, 8, 128) f32   VMEM  WORLD-space AABBs of the (block,
+  aabb   (NEC, 8, 128) f32  VMEM  WORLD-space AABBs of the (block,
                                   instance) entries, 128 per chunk, rows
                                   bmin.xyz / bmax.xyz / pad. ~32 B per
                                   128 triangles: 1M tris = 250 KB.
+  parent (NPC, 8, 128) f32  VMEM  chunk-level AABBs (union of each
+                                  chunk's live entries): one row of 128
+                                  parents covers 16k entries = 2M tris.
   ent_block/ent_inst (NE,)  SMEM  entry -> global block / instance id.
   inst_inv (NI, 12)  f32    SMEM  world->object affine per instance.
 
 A "tile" is TILE_R consecutive rays (the wavefront sorts lanes by
-(dead, octant) so tiles are directionally coherent). The cull is
-CONSERVATIVE interval arithmetic over the tile's realized ray bounds
-(min/max of origin and 1/d component-wise): every block any tile ray
-could hit tests positive; false positives only cost extra intersection
-work, never correctness. Dead tiles (no valid ray) skip everything.
+(dead, octant) so tiles are directionally coherent, which concentrates
+each tile's alive-entry set). Per tile:
 
-Cost model: cull is one (NEC, 128)-shaped vector pass per tile —
-rays x tris / (TILE_R*128) slab tests, ~40,000x less than brute force —
-and intersection touches only blocks whose entry beats the tile's
-current worst hit, so kernel time grows with LOCAL geometric complexity,
-not scene size (measured in benchmarks/scaling_tris.py).
+  1. one slab pass per parent row -> Epar[r, c] = ray r's conservative
+     entry distance into chunk c (inf when provably missed);
+  2. outer loop: pop the chunk whose masked minimum entry (over rays
+     still beating their best-t) is smallest; one slab pass ranks its
+     entries -> E[r, e];
+  3. inner loop: pop the BATCH nearest alive entries, DMA their blocks,
+     Moller-Trumbore all tile rays against each (capped by the live
+     per-ray best-t), update best-t/slot/instance.
+
+Cost model: every pass is O(128 boxes / op); pops touch only entries
+some ray still needs, so kernel time scales with the VISIBLE geometric
+complexity per tile (front surfaces + silhouette grazes), not scene
+size. Scaling is measured in benchmarks/scaling_tris.py.
 """
 
 from __future__ import annotations
@@ -70,13 +87,17 @@ from jax.experimental.pallas import tpu as pltpu
 from nexus_tpu.geom.types import MISS_DISTANCE
 
 CHUNK = 128        # triangles per block == entries per AABB chunk (lanes)
-TILE_R = 256       # rays per grid step (sweep on v5e: 256 beats 128/512
-#                    at both 100k and 1M tris; benchmarks/scaling_tris.py)
-BATCH = 4          # triangle blocks popped/DMA'd/intersected per loop
-#                    iteration: the serial pop->DMA->wait->MT loop is
-#                    latency-bound (~5us/block on v5e), so K blocks per
-#                    iteration amortize the scalar machinery and keep K
-#                    DMAs in flight per buffer half
+TILE_R = 128       # rays per grid step (see benchmarks/scaling_tris.py)
+BATCH = 4          # triangle blocks selected/DMA'd/intersected per inner
+#                    iteration. The inner loop is software-pipelined:
+#                    batch i+1's DMAs start (into the other buffer half)
+#                    before batch i's intersections run, so HBM latency
+#                    hides behind compute. Selection CONSUMES an entry
+#                    from e_ref immediately (sets its column to inf), so
+#                    in-flight entries are never re-selected and every
+#                    started DMA is waited exactly once: a batch's
+#                    start/wait pair lives in the same predicated region,
+#                    and sels from selection are -1-padded at the tail.
 _INF = 3.0e38
 _BIG = 1.0e37
 
@@ -86,6 +107,7 @@ class BlockedScene:
     """Blocked triangle layout + (block, instance) entry table."""
     tri: jnp.ndarray        # (NBG, 9, 128) f32, HBM-resident
     aabb: jnp.ndarray       # (NEC, 8, 128) f32 world entry AABBs
+    parent: jnp.ndarray     # (NPC, 8, 128) f32 chunk-level AABBs
     ent_block: jnp.ndarray  # (NEC*128,) int32 entry -> block id
     ent_inst: jnp.ndarray   # (NEC*128,) int32 entry -> instance id
     inst_inv: jnp.ndarray   # (NI, 12) f32 world->object affines
@@ -124,7 +146,9 @@ def _block_tris(v0, v1, v2, order):
 
 def _pack_entries(world_lo, world_hi, ent_block, ent_inst):
     """Morton-sort entries by AABB center, pad to a CHUNK multiple with
-    never-hit inverted boxes, and transpose into (NEC, 8, 128) chunks."""
+    +BIG sentinel boxes (rejected by the slab pass's validity mask),
+    transpose into (NEC, 8, 128) chunks, and compute the chunk-level
+    parent AABBs (NPC, 8, 128)."""
     ne = ent_block.shape[0]
     center = 0.5 * (world_lo + world_hi)
     span = center.max(axis=0) - center.min(axis=0)
@@ -151,8 +175,23 @@ def _pack_entries(world_lo, world_hi, ent_block, ent_inst):
     for a in range(3):
         aabb[:, a, :] = lo[:, a].reshape(nec, CHUNK)
         aabb[:, 3 + a, :] = hi[:, a].reshape(nec, CHUNK)
+
+    # Chunk-level parents: union of the chunk's live entries. A chunk
+    # made entirely of padding keeps lo=+BIG -> rejected by the same
+    # validity mask as padding entries.
+    npc = max((nec + CHUNK - 1) // CHUNK, 1)
+    cpad = npc * CHUNK - nec
+    plo = lo.reshape(nec, CHUNK, 3).min(axis=1)
+    phi = hi.reshape(nec, CHUNK, 3).max(axis=1)
+    plo = np.concatenate([plo, np.full((cpad, 3), _BIG, np.float32)])
+    phi = np.concatenate([phi, np.full((cpad, 3), -_BIG, np.float32)])
+    parent = np.zeros((npc, 8, CHUNK), np.float32)
+    for a in range(3):
+        parent[:, a, :] = plo[:, a].reshape(npc, CHUNK)
+        parent[:, 3 + a, :] = phi[:, a].reshape(npc, CHUNK)
+
     zpad = np.zeros(pad, np.int32)
-    return (aabb,
+    return (aabb, parent,
             np.concatenate([ent_block.astype(np.int32), zpad]),
             np.concatenate([ent_inst.astype(np.int32), zpad]), ne)
 
@@ -163,13 +202,14 @@ def build_blocked_flat(v0, v1, v2, order) -> BlockedScene:
     tri, oaabb, to_global = _block_tris(v0, v1, v2, order)
     nb = tri.shape[0]
     ids = np.arange(nb, dtype=np.int32)
-    aabb, ent_block, ent_inst, ne = _pack_entries(
+    aabb, parent, ent_block, ent_inst, ne = _pack_entries(
         oaabb[:, :3].astype(np.float32), oaabb[:, 3:].astype(np.float32),
         ids, np.zeros(nb, np.int32))
     eye = np.concatenate([np.eye(3, dtype=np.float32),
                           np.zeros((3, 1), np.float32)], axis=1)
     return BlockedScene(
         tri=jnp.asarray(tri), aabb=jnp.asarray(aabb),
+        parent=jnp.asarray(parent),
         ent_block=jnp.asarray(ent_block), ent_inst=jnp.asarray(ent_inst),
         inst_inv=jnp.asarray(eye.reshape(1, 12)),
         to_global=jnp.asarray(to_global),
@@ -224,11 +264,12 @@ def build_blocked_tlas(tl) -> BlockedScene:
         wlo.append(w.min(axis=1).astype(np.float32))
         whi.append(w.max(axis=1).astype(np.float32))
 
-    aabb, eb, ei, ne = _pack_entries(
+    aabb, parent, eb, ei, ne = _pack_entries(
         np.concatenate(wlo), np.concatenate(whi),
         np.concatenate(ent_block), np.concatenate(ent_inst))
     return BlockedScene(
         tri=jnp.asarray(np.concatenate(tris)), aabb=jnp.asarray(aabb),
+        parent=jnp.asarray(parent),
         ent_block=jnp.asarray(eb), ent_inst=jnp.asarray(ei),
         inst_inv=jnp.asarray(np.asarray(tl.inst_inv).reshape(-1, 12)),
         to_global=jnp.asarray(np.concatenate(to_globals)),
@@ -245,148 +286,26 @@ def _safe_inv(d):
     return 1.0 / d
 
 
-def _tile_bounds(ray_ref, valid):
-    """Conservative per-tile ray-bundle bounds (a few scalars):
+def _slab_row(lo, hi, o, inv, valid_col):
+    """Per-ray EXACT slab entry distances vs one row of 128 boxes.
 
-      - realized min/max of origin and 1/direction per component (feeds
-        the interval slab test);
-      - a bounding CONE of the directions (mean axis + min cosine) and
-        a bounding sphere of the origins (feeds the packet frustum-cull
-        analog — slab intervals degenerate when a direction component
-        straddles zero, the cone does not).
-    """
-    lo, hi = [], []
-    for c in range(3):
-        o = ray_ref[:, c:c + 1]
-        lo.append(jnp.min(jnp.where(valid, o, _BIG)))
-        hi.append(jnp.max(jnp.where(valid, o, -_BIG)))
-    ilo, ihi = [], []
-    for c in range(3):
-        iv = _safe_inv(ray_ref[:, 3 + c:4 + c])
-        ilo.append(jnp.min(jnp.where(valid, iv, _BIG)))
-        ihi.append(jnp.max(jnp.where(valid, iv, -_BIG)))
-    # Direction cone: axis = normalized mean of unit directions,
-    # cos = min over rays of d.axis (<= 0 disables the cone cull).
-    n_valid = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
-    mean_d = [jnp.sum(jnp.where(valid, ray_ref[:, 3 + c:4 + c], 0.0))
-              / n_valid for c in range(3)]
-    norm = jnp.sqrt(mean_d[0] ** 2 + mean_d[1] ** 2 + mean_d[2] ** 2)
-    safe = jnp.maximum(norm, 1e-6)
-    axis = [m / safe for m in mean_d]
-    dots = (axis[0] * ray_ref[:, 3:4] + axis[1] * ray_ref[:, 4:5]
-            + axis[2] * ray_ref[:, 5:6])
-    cos_cone = jnp.min(jnp.where(valid, dots, _BIG))
-    cos_cone = jnp.where(norm < 1e-6, -1.0, jnp.clip(cos_cone, -1.0, 1.0))
-    # Origin bounding sphere.
-    oc = [0.5 * (lo[c] + hi[c]) for c in range(3)]
-    r_o = 0.5 * jnp.sqrt((hi[0] - lo[0]) ** 2 + (hi[1] - lo[1]) ** 2
-                         + (hi[2] - lo[2]) ** 2)
-    return (lo, hi, ilo, ihi), (oc, r_o, axis, cos_cone)
-
-
-def _cull_entries(aabb_ref, bounds):
-    """Tile-bundle cull of every entry AABB in ONE batched vector pass
-    over (NEC, 128) rows — the tile-granular ChildTrace analog
-    (BVH8Traversal.cuh:55-146). Two conservative tests are ANDed:
-
-      1. interval-arithmetic slab test over realized origin/inv-dir
-         bounds (exact-ish for axis-aligned separation);
-      2. direction-cone vs block-bounding-sphere test (packet frustum
-         culling; catches radial separation the slabs cannot express
-         when a direction component straddles zero).
-
-    Returns conservative entry distances: max(slab entry, radial
-    distance |center-origin| - radii) where possibly hit, +inf where
-    provably missed. The radial term is what makes per-ray best-t
-    pruning effective (it is a true lower bound on any hit t since
-    directions are unit length)."""
-    (ol, oh, il, ih), (oc, r_o, axis, cos_cone) = bounds
-
-    def slab(p, a):  # interval of (p - o) * inv for axis a
-        a1 = p - ol[a]
-        a2 = p - oh[a]
-        q1, q2 = a1 * il[a], a1 * ih[a]
-        q3, q4 = a2 * il[a], a2 * ih[a]
-        return (jnp.minimum(jnp.minimum(q1, q2), jnp.minimum(q3, q4)),
-                jnp.maximum(jnp.maximum(q1, q2), jnp.maximum(q3, q4)))
-
-    tmin_lo = jnp.full(aabb_ref.shape[:1] + (CHUNK,), -_BIG, jnp.float32)
-    tmax_hi = jnp.full(aabb_ref.shape[:1] + (CHUNK,), _BIG, jnp.float32)
+    lo/hi: 3 box rows each, shape (1, 128); o/inv: (R, 1) ray columns;
+    valid_col: (R, 1) bool. Returns (R, 128) conservative entry
+    distance (>= 0), _INF where the ray provably misses the box, where
+    the box is a +BIG padding sentinel, or where the ray is invalid.
+    This is the tile-granular ChildTrace analog
+    (BVH8Traversal.cuh:55-146) — one VPU pass ranks 128 boxes for every
+    ray at once, exactly (no interval-arithmetic over-approximation)."""
+    tmin = jnp.zeros((o[0].shape[0], CHUNK), jnp.float32)
+    tmax = jnp.full((o[0].shape[0], CHUNK), _INF, jnp.float32)
     for a in range(3):
-        n_lo, n_hi = slab(aabb_ref[:, a, :], a)
-        f_lo, f_hi = slab(aabb_ref[:, 3 + a, :], a)
-        tmin_lo = jnp.maximum(tmin_lo, jnp.minimum(n_lo, f_lo))
-        tmax_hi = jnp.minimum(tmax_hi, jnp.maximum(n_hi, f_hi))
-    hit = (tmax_hi >= tmin_lo) & (tmax_hi > 0.0)
-
-    # Cone-vs-bounding-sphere test. p = block center relative to the
-    # origin-sphere center; a block survives unless its bounding sphere
-    # (radius r_b + origin radius r_o) lies strictly outside the
-    # direction cone or strictly behind the origins.
-    p, e2, r2 = [], 0.0, 0.0
-    for a in range(3):
-        c = 0.5 * (aabb_ref[:, a, :] + aabb_ref[:, 3 + a, :])
-        half = 0.5 * (aabb_ref[:, 3 + a, :] - aabb_ref[:, a, :])
-        p.append(c - oc[a])
-        e2 = e2 + half * half
-        r2 = r2 + p[a] * p[a]
-    r_tot = jnp.sqrt(jnp.maximum(e2, 0.0)) + r_o
-    dist = jnp.sqrt(jnp.maximum(r2, 0.0))
-    proj = p[0] * axis[0] + p[1] * axis[1] + p[2] * axis[2]
-    perp = jnp.sqrt(jnp.maximum(r2 - proj * proj, 0.0))
-    sin_cone = jnp.sqrt(jnp.maximum(1.0 - cos_cone * cos_cone, 0.0))
-    # Signed distance from the block sphere to the cone boundary
-    # (exact in front of the apex, an underestimate behind it — both
-    # conservative). Only applied when the cone is proper (cos > 0).
-    outside_cone = (perp * cos_cone - proj * sin_cone > r_tot) \
-        & (cos_cone > 0.0)
-    behind = proj < -r_tot
-    # Padding entries carry inverted boxes whose half-extent overflows
-    # to +inf; interval slabs cannot reject an inverted box (the
-    # corner-product bounds span everything), so reject on radius.
-    degenerate = r_tot >= _BIG
-    hit = hit & ~outside_cone & ~behind & ~degenerate
-
-    # Conservative entry distance: the slab entry and the radial lower
-    # bound |center - origin| - radii are both true lower bounds on any
-    # ray's hit parameter (directions are unit length).
-    entry = jnp.maximum(jnp.maximum(tmin_lo, dist - r_tot), 0.0)
-    return jnp.where(hit, entry, _INF)
-
-
-def _make_pop(lo_ref, nec):
-    """Entry iterator: pop() yields the next candidate entry id (or -1),
-    nearest-conservative-entry first within each chunk, skipping every
-    entry whose entry distance >= t_worst (per-ray best-hit pruning at
-    tile granularity — the t-pruning of an ordered stack walk)."""
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
-
-    def advance(c, cand, t_worst):
-        def cond(s):
-            cc, cv = s
-            return jnp.logical_and(cc < nec, jnp.min(cv) >= t_worst)
-
-        def body(s):
-            cc, _ = s
-            cc = cc + 1
-            nv = jax.lax.select(
-                cc < nec,
-                lo_ref[pl.ds(jnp.minimum(cc, nec - 1), 1), :],
-                jnp.full((1, CHUNK), _INF, jnp.float32))
-            return cc, nv
-
-        return jax.lax.while_loop(cond, body, (c, cand))
-
-    def pop(c, cand, t_worst):
-        c, cand = advance(c, cand, t_worst)
-        mn = jnp.min(cand)
-        got = jnp.logical_and(c < nec, mn < t_worst)
-        sel = jnp.min(jnp.where(cand == mn, lane, CHUNK))
-        e = jnp.where(got, c * CHUNK + sel, -1)
-        cand = jnp.where(lane == sel, _INF, cand)
-        return e, c, cand
-
-    return pop
+        n = (lo[a] - o[a]) * inv[a]
+        f = (hi[a] - o[a]) * inv[a]
+        tmin = jnp.maximum(tmin, jnp.minimum(n, f))
+        tmax = jnp.minimum(tmax, jnp.maximum(n, f))
+    box_valid = lo[0] < _BIG * 0.5          # (1, 128) broadcast
+    ok = (tmax >= tmin) & (tmax > 0.0) & box_valid & valid_col
+    return jnp.where(ok, tmin, _INF)
 
 
 def _mt_block(buf, s, ox, oy, oz, dx, dy, dz, t_cap):
@@ -439,20 +358,81 @@ def _entry_rays(instanced, inv_ref, ent_inst_ref, e,
     return tox, toy, toz, tdx, tdy, tdz, inst
 
 
-def _pop_batch(pop, c, cand, t_worst):
-    """Pop up to BATCH entries (front-packed; -1 once exhausted)."""
-    es = []
+def _select_consume(e_ref, thresh, lane):
+    """Pick the BATCH nearest entries of e_ref still beating any ray's
+    threshold, CONSUMING them (their columns go to inf so they are
+    never re-selected — required by the pipelined inner loop, which has
+    a batch in flight while the next one is selected). Returns a
+    (BATCH,) int32 lane-id vector, -1-padded once exhausted."""
+    em = jnp.where(e_ref[:] < thresh, e_ref[:], _INF)
+    col = jnp.min(em, axis=0, keepdims=True)     # (1, CHUNK)
+    sels = []
     for _ in range(BATCH):
-        e, c, cand = pop(c, cand, t_worst)
-        es.append(e)
-    return jnp.stack(es), c, cand
+        mn = jnp.min(col)
+        sel = jnp.min(jnp.where(col == mn, lane, CHUNK))
+        got = mn < _BIG
+        sels.append(jnp.where(got, sel, -1).astype(jnp.int32))
+        col = jnp.where(lane == sel, _INF, col)
+    mask = lane == sels[0]
+    for k in range(1, BATCH):
+        mask = mask | (lane == sels[k])
+    e_ref[:] = jnp.where(mask, _INF, e_ref[:])
+    return jnp.stack(sels)
 
 
-def _closest_kernel(instanced, nec,
-                    ent_blk_ref, ent_inst_ref, inv_ref,   # SMEM
-                    ray_ref, aabb_ref, tri_hbm,           # VMEM/VMEM/HBM
-                    t_ref, slot_ref, inst_ref,            # outputs
-                    lo_ref, buf, sem):                    # scratch
+def _traverse(instanced, nec, npc, intersect_chunk,
+              ent_inst_ref, inv_ref, ray_ref, aabb_ref, parent_ref,
+              epar_ref, e_ref, alive_t):
+    """Shared two-level ordered traversal.
+
+    alive_t() -> (R, 1) per-ray pruning threshold (closest: live
+    best-t; anyhit: open shadow distance, 0 once occluded). A box is
+    alive iff ANY ray's slab entry beats that ray's threshold; the
+    masked minima are recomputed from the LIVE threshold every
+    iteration, so pruning tightens as hits land. Chunks, then entries
+    within a chunk, are popped nearest-first (the ordered-stack
+    t-pruning of BVH8Traversal.cuh:197-222 at tile granularity).
+
+    intersect_chunk(c) runs the inner entry loop for popped chunk c;
+    its per-ray entry distances have been written to e_ref."""
+    o = (ray_ref[:, 0:1], ray_ref[:, 1:2], ray_ref[:, 2:3])
+    inv = tuple(_safe_inv(ray_ref[:, 3 + a:4 + a]) for a in range(3))
+    valid = ray_ref[:, 6:7] > 0.0
+    l1 = npc * CHUNK
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, l1), 1)
+
+    for p in range(npc):  # static unroll: one slab pass per parent row
+        lo = [parent_ref[p, a:a + 1, :] for a in range(3)]
+        hi = [parent_ref[p, 3 + a:4 + a, :] for a in range(3)]
+        epar_ref[:, p * CHUNK:(p + 1) * CHUNK] = _slab_row(
+            lo, hi, o, inv, valid)
+
+    def outer_body(go):
+        thresh = alive_t()
+        pm = jnp.where(epar_ref[:] < thresh, epar_ref[:], _INF)
+        col = jnp.min(pm, axis=0, keepdims=True)     # (1, l1)
+        m = jnp.min(col)
+        found = m < _BIG
+
+        @pl.when(found)
+        def _():
+            c = jnp.min(jnp.where(col == m, lane1, l1)).astype(jnp.int32)
+            epar_ref[:] = jnp.where(lane1 == c, _INF, epar_ref[:])
+            lo = [aabb_ref[pl.ds(c, 1), a, :] for a in range(3)]
+            hi = [aabb_ref[pl.ds(c, 1), 3 + a, :] for a in range(3)]
+            e_ref[:] = _slab_row(lo, hi, o, inv, valid)
+            intersect_chunk(c)
+
+        return found
+
+    jax.lax.while_loop(lambda go: go, outer_body, True)
+
+
+def _closest_kernel(instanced, nec, npc,
+                    ent_blk_ref, ent_inst_ref, inv_ref,       # SMEM
+                    ray_ref, aabb_ref, parent_ref, tri_hbm,   # VMEM/ANY
+                    t_ref, slot_ref, inst_ref,                # outputs
+                    epar_ref, e_ref, buf, sem):               # scratch
     t_ref[:] = jnp.full(t_ref.shape, MISS_DISTANCE, jnp.float32)
     slot_ref[:] = jnp.full(slot_ref.shape, -1, jnp.int32)
     inst_ref[:] = jnp.zeros(inst_ref.shape, jnp.int32)
@@ -460,123 +440,123 @@ def _closest_kernel(instanced, nec,
 
     @pl.when(jnp.any(valid))
     def _():
-        lo_ref[:] = _cull_entries(aabb_ref, _tile_bounds(ray_ref, valid))
-        pop = _make_pop(lo_ref, nec)
         ox, oy, oz = ray_ref[:, 0:1], ray_ref[:, 1:2], ray_ref[:, 2:3]
         dx, dy, dz = ray_ref[:, 3:4], ray_ref[:, 4:5], ray_ref[:, 5:6]
-        laneT = jax.lax.broadcasted_iota(jnp.int32, (t_ref.shape[0], CHUNK),
-                                         1)
+        laneC = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+        laneT = jax.lax.broadcasted_iota(jnp.int32,
+                                         (t_ref.shape[0], CHUNK), 1)
 
-        def dma(e, s, k):
+        def dma(e, sl, k):
             b = ent_blk_ref[e]
-            return pltpu.make_async_copy(tri_hbm.at[b], buf.at[s, k],
-                                         sem.at[s, k])
+            return pltpu.make_async_copy(tri_hbm.at[b], buf.at[sl, k],
+                                         sem.at[sl, k])
 
-        es0, c0, cand0 = _pop_batch(pop, jnp.int32(0),
-                                    lo_ref[pl.ds(0, 1), :], _INF)
-        for k in range(BATCH):
-            @pl.when(es0[k] >= 0)
-            def _(k=k):
-                dma(es0[k], 0, k).start()
+        def intersect(eid, sl, k):
+            dma(eid, sl, k).wait()
+            t_best = t_ref[:]
+            tox, toy, toz, tdx, tdy, tdz, inst = _entry_rays(
+                instanced, inv_ref, ent_inst_ref, eid,
+                ox, oy, oz, dx, dy, dz)
+            t = _mt_block(buf.at[sl], k, tox, toy, toz,
+                          tdx, tdy, tdz, t_best)
+            t_min = jnp.min(t, axis=1, keepdims=True)
+            kk = jnp.min(jnp.where(t == t_min, laneT, CHUNK),
+                         axis=1, keepdims=True)
+            better = t_min < t_best
+            b = ent_blk_ref[eid]
+            t_ref[:] = jnp.where(better, t_min, t_best)
+            slot_ref[:] = jnp.where(better, b * CHUNK + kk, slot_ref[:])
+            if instanced:
+                inst_ref[:] = jnp.where(better, inst, inst_ref[:])
 
-        def cond(s):
-            return s[0][0] >= 0
-
-        def body(s):
-            es_cur, sl, c, cand = s
-            t_worst = jnp.max(jnp.where(valid, t_ref[:], 0.0))
-            es_nxt, c, cand = _pop_batch(pop, c, cand, t_worst)
+        def intersect_chunk(c):
+            sels0 = _select_consume(e_ref, t_ref[:], laneC)
             for k in range(BATCH):
-                @pl.when(es_nxt[k] >= 0)
+                @pl.when(sels0[k] >= 0)
                 def _(k=k):
-                    dma(es_nxt[k], 1 - sl, k).start()
+                    dma(c * CHUNK + sels0[k], 0, k).start()
 
-            for k in range(BATCH):
-                @pl.when(es_cur[k] >= 0)
-                def _(k=k):
-                    e_cur = es_cur[k]
-                    dma(e_cur, sl, k).wait()
-                    t_best = t_ref[:]
-                    tox, toy, toz, tdx, tdy, tdz, inst = _entry_rays(
-                        instanced, inv_ref, ent_inst_ref, e_cur,
-                        ox, oy, oz, dx, dy, dz)
-                    t = _mt_block(buf.at[sl], k, tox, toy, toz,
-                                  tdx, tdy, tdz, t_best)
-                    t_min = jnp.min(t, axis=1, keepdims=True)
-                    kk = jnp.min(jnp.where(t == t_min, laneT, CHUNK),
-                                 axis=1, keepdims=True)
-                    better = t_min < t_best
-                    b = ent_blk_ref[e_cur]
-                    t_ref[:] = jnp.where(better, t_min, t_best)
-                    slot_ref[:] = jnp.where(better, b * CHUNK + kk,
-                                            slot_ref[:])
-                    if instanced:
-                        inst_ref[:] = jnp.where(better, inst, inst_ref[:])
-            return es_nxt, 1 - sl, c, cand
+            def inner_body(s):
+                sels_cur, sl = s
+                sels_nxt = _select_consume(e_ref, t_ref[:], laneC)
+                for k in range(BATCH):
+                    @pl.when(sels_nxt[k] >= 0)
+                    def _(k=k):
+                        dma(c * CHUNK + sels_nxt[k], 1 - sl, k).start()
+                for k in range(BATCH):
+                    @pl.when(sels_cur[k] >= 0)
+                    def _(k=k):
+                        intersect(c * CHUNK + sels_cur[k], sl, k)
+                return sels_nxt, 1 - sl
 
-        jax.lax.while_loop(cond, body, (es0, jnp.int32(0), c0, cand0))
+            jax.lax.while_loop(lambda s: s[0][0] >= 0, inner_body,
+                               (sels0, jnp.int32(0)))
+
+        _traverse(instanced, nec, npc, intersect_chunk,
+                  ent_inst_ref, inv_ref, ray_ref, aabb_ref, parent_ref,
+                  epar_ref, e_ref, lambda: t_ref[:])
 
 
-def _anyhit_kernel(instanced, nec,
+def _anyhit_kernel(instanced, nec, npc,
                    ent_blk_ref, ent_inst_ref, inv_ref,
-                   ray_ref, aabb_ref, tri_hbm,
+                   ray_ref, aabb_ref, parent_ref, tri_hbm,
                    hit_ref,
-                   lo_ref, buf, sem):
+                   epar_ref, e_ref, buf, sem):
     hit_ref[:] = jnp.zeros(hit_ref.shape, bool)
     valid = ray_ref[:, 6:7] > 0.0
     tmax = ray_ref[:, 7:8]
 
     @pl.when(jnp.any(valid & (tmax > 0.0)))
     def _():
-        lo_ref[:] = _cull_entries(aabb_ref, _tile_bounds(ray_ref, valid))
-        pop = _make_pop(lo_ref, nec)
         ox, oy, oz = ray_ref[:, 0:1], ray_ref[:, 1:2], ray_ref[:, 2:3]
         dx, dy, dz = ray_ref[:, 3:4], ray_ref[:, 4:5], ray_ref[:, 5:6]
+        laneC = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
 
-        def dma(e, s, k):
+        def cap():
+            # Open shadow distance; 0 once a ray is occluded, so a
+            # fully occluded tile keeps nothing alive -> early exit.
+            return jnp.where(hit_ref[:], 0.0, tmax)
+
+        def dma(e, sl, k):
             b = ent_blk_ref[e]
-            return pltpu.make_async_copy(tri_hbm.at[b], buf.at[s, k],
-                                         sem.at[s, k])
+            return pltpu.make_async_copy(tri_hbm.at[b], buf.at[sl, k],
+                                         sem.at[sl, k])
 
-        def t_open():
-            # Worst open shadow distance; 0 once every valid ray is
-            # occluded, which makes pop() return -1 -> early exit.
-            return jnp.max(jnp.where(valid & ~hit_ref[:], tmax, 0.0))
-
-        es0, c0, cand0 = _pop_batch(pop, jnp.int32(0),
-                                    lo_ref[pl.ds(0, 1), :], t_open())
-        for k in range(BATCH):
-            @pl.when(es0[k] >= 0)
-            def _(k=k):
-                dma(es0[k], 0, k).start()
-
-        def cond(s):
-            return s[0][0] >= 0
-
-        def body(s):
-            es_cur, sl, c, cand = s
-            es_nxt, c, cand = _pop_batch(pop, c, cand, t_open())
+        def intersect_chunk(c):
+            sels0 = _select_consume(e_ref, cap(), laneC)
             for k in range(BATCH):
-                @pl.when(es_nxt[k] >= 0)
+                @pl.when(sels0[k] >= 0)
                 def _(k=k):
-                    dma(es_nxt[k], 1 - sl, k).start()
+                    dma(c * CHUNK + sels0[k], 0, k).start()
 
-            for k in range(BATCH):
-                @pl.when(es_cur[k] >= 0)
-                def _(k=k):
-                    e_cur = es_cur[k]
-                    dma(e_cur, sl, k).wait()
-                    tox, toy, toz, tdx, tdy, tdz, _ = _entry_rays(
-                        instanced, inv_ref, ent_inst_ref, e_cur,
-                        ox, oy, oz, dx, dy, dz)
-                    cap = jnp.where(hit_ref[:], 0.0, tmax)
-                    t = _mt_block(buf.at[sl], k, tox, toy, toz,
-                                  tdx, tdy, tdz, cap)
-                    hit_ref[:] = hit_ref[:] | jnp.any(t < cap, axis=1,
-                                                      keepdims=True)
-            return es_nxt, 1 - sl, c, cand
+            def inner_body(s):
+                sels_cur, sl = s
+                sels_nxt = _select_consume(e_ref, cap(), laneC)
+                for k in range(BATCH):
+                    @pl.when(sels_nxt[k] >= 0)
+                    def _(k=k):
+                        dma(c * CHUNK + sels_nxt[k], 1 - sl, k).start()
+                for k in range(BATCH):
+                    @pl.when(sels_cur[k] >= 0)
+                    def _(k=k):
+                        eid = c * CHUNK + sels_cur[k]
+                        dma(eid, sl, k).wait()
+                        tox, toy, toz, tdx, tdy, tdz, _u = _entry_rays(
+                            instanced, inv_ref, ent_inst_ref, eid,
+                            ox, oy, oz, dx, dy, dz)
+                        cp = cap()
+                        t = _mt_block(buf.at[sl], k, tox, toy, toz,
+                                      tdx, tdy, tdz, cp)
+                        hit_ref[:] = hit_ref[:] | jnp.any(
+                            t < cp, axis=1, keepdims=True)
+                return sels_nxt, 1 - sl
 
-        jax.lax.while_loop(cond, body, (es0, jnp.int32(0), c0, cand0))
+            jax.lax.while_loop(lambda s: s[0][0] >= 0, inner_body,
+                               (sels0, jnp.int32(0)))
+
+        _traverse(instanced, nec, npc, intersect_chunk,
+                  ent_inst_ref, inv_ref, ray_ref, aabb_ref, parent_ref,
+                  epar_ref, e_ref, cap)
 
 
 # --------------------------------------------------------------------------
@@ -586,10 +566,9 @@ def _anyhit_kernel(instanced, nec,
 def _pack_rays(ray_o, ray_d, t_max, rp):
     """(R,3)x2 + (R,) -> (rp, 8) [o.xyz d.xyz valid tmax], zero-padded
     invalid rows. Rays PARKED at huge origins (the wavefront pipeline
-    parks dead lanes at +1e30, render/wavefront.py) are marked invalid
-    so they cannot blow up the tile's conservative bounds — an
-    all-parked tile skips every block. Directions must be unit length
-    (the radial entry bound assumes |d| == 1)."""
+    parks dead lanes at +1e30, render/wavefront.py) are marked invalid;
+    the slab pass forces their entry distances to inf, so they keep
+    nothing alive — an all-parked tile skips every block."""
     r = ray_o.shape[0]
     parked = jnp.any(jnp.abs(ray_o) >= 1.0e29, axis=1, keepdims=True)
     valid = jnp.where(parked, 0.0, 1.0)
@@ -598,15 +577,17 @@ def _pack_rays(ray_o, ray_d, t_max, rp):
     return jnp.pad(packed, ((0, rp - r), (0, 0)))
 
 
-def _common_specs(nec, tile_r):
+def _common_specs(nec, npc, tile_r):
     smem = [pl.BlockSpec(memory_space=pltpu.SMEM) for _ in range(3)]
     in_specs = smem + [
         pl.BlockSpec((tile_r, 8), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pl.ANY),
     ]
-    scratch = [pltpu.VMEM((nec, CHUNK), jnp.float32),
+    scratch = [pltpu.VMEM((tile_r, npc * CHUNK), jnp.float32),
+               pltpu.VMEM((tile_r, CHUNK), jnp.float32),
                pltpu.VMEM((2, BATCH, 9, CHUNK), jnp.float32),
                pltpu.SemaphoreType.DMA((2, BATCH))]
     return in_specs, scratch
@@ -622,12 +603,12 @@ def closest_hit_scene(bs: BlockedScene, ray_o, ray_d, interpret=False,
     rp = max((r + tile_r - 1) // tile_r, 1) * tile_r
     rays = _pack_rays(ray_o, ray_d,
                       jnp.full((r,), MISS_DISTANCE, jnp.float32), rp)
-    nec = bs.aabb.shape[0]
-    in_specs, scratch = _common_specs(nec, tile_r)
+    nec, npc = bs.aabb.shape[0], bs.parent.shape[0]
+    in_specs, scratch = _common_specs(nec, npc, tile_r)
     col = pl.BlockSpec((tile_r, 1), lambda i: (i, 0),
                        memory_space=pltpu.VMEM)
     t, slot, inst = pl.pallas_call(
-        functools.partial(_closest_kernel, bs.instanced, nec),
+        functools.partial(_closest_kernel, bs.instanced, nec, npc),
         grid=(rp // tile_r,),
         in_specs=in_specs,
         out_specs=(col, col, col),
@@ -636,7 +617,8 @@ def closest_hit_scene(bs: BlockedScene, ray_o, ray_d, interpret=False,
                    jax.ShapeDtypeStruct((rp, 1), jnp.int32)),
         scratch_shapes=scratch,
         interpret=interpret,
-    )(bs.ent_block, bs.ent_inst, bs.inst_inv, rays, bs.aabb, bs.tri)
+    )(bs.ent_block, bs.ent_inst, bs.inst_inv, rays, bs.aabb, bs.parent,
+      bs.tri)
     return t.reshape(rp)[:r], slot.reshape(rp)[:r], inst.reshape(rp)[:r]
 
 
@@ -648,10 +630,10 @@ def any_hit_scene(bs: BlockedScene, ray_o, ray_d, t_max, interpret=False,
     rp = max((r + tile_r - 1) // tile_r, 1) * tile_r
     tm = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,))
     rays = _pack_rays(ray_o, ray_d, tm, rp)
-    nec = bs.aabb.shape[0]
-    in_specs, scratch = _common_specs(nec, tile_r)
+    nec, npc = bs.aabb.shape[0], bs.parent.shape[0]
+    in_specs, scratch = _common_specs(nec, npc, tile_r)
     hit = pl.pallas_call(
-        functools.partial(_anyhit_kernel, bs.instanced, nec),
+        functools.partial(_anyhit_kernel, bs.instanced, nec, npc),
         grid=(rp // tile_r,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((tile_r, 1), lambda i: (i, 0),
@@ -659,5 +641,6 @@ def any_hit_scene(bs: BlockedScene, ray_o, ray_d, t_max, interpret=False,
         out_shape=jax.ShapeDtypeStruct((rp, 1), bool),
         scratch_shapes=scratch,
         interpret=interpret,
-    )(bs.ent_block, bs.ent_inst, bs.inst_inv, rays, bs.aabb, bs.tri)
+    )(bs.ent_block, bs.ent_inst, bs.inst_inv, rays, bs.aabb, bs.parent,
+      bs.tri)
     return hit.reshape(rp)[:r]

@@ -76,15 +76,22 @@ def render_pixels(scene: SceneData, settings: RenderSettings,
         state=state)
     lane_pix = jnp.arange(n, dtype=jnp.int32)
 
-    for bounce in range(settings.path_length):
-        if bounce > 0:
-            # Sort: live-first, then by direction octant (the queue
-            # analog). Primary rays are already image-coherent.
-            key = jnp.where(ps.active, _octant(ps.ray_d), 8)
-            perm = jnp.argsort(key)
-            ps = jax.tree.map(lambda a: a[perm], ps)
-            lane_pix = lane_pix[perm]
-        ps = _bounce(scene, settings, ps, jnp.int32(bounce))
+    def body(carry, bounce):
+        ps, lane_pix = carry
+        # Sort: live-first, then by direction octant (the queue analog).
+        # Stable, so image coherence survives within each octant. One
+        # scan body instead of an unrolled Python loop keeps the HLO
+        # path_length-times smaller (compile time was the blocker —
+        # VERDICT r2 #7).
+        key = jnp.where(ps.active, _octant(ps.ray_d), 8)
+        perm = jnp.argsort(key, stable=True)
+        ps = jax.tree.map(lambda a: a[perm], ps)
+        lane_pix = lane_pix[perm]
+        ps = _bounce(scene, settings, ps, bounce)
+        return (ps, lane_pix), None
+
+    (ps, lane_pix), _ = jax.lax.scan(
+        body, (ps, lane_pix), jnp.arange(settings.path_length))
 
     # Unsort: one scatter back to pixel order.
     out = jnp.zeros((n, 3), jnp.float32)
