@@ -8,6 +8,15 @@ The reference publishes no numbers (BASELINE.md), so vs_baseline is
 reported against the same config's rays/s of the previous round when
 available (bench_history.json), else null.
 
+TIMING HYGIENE (critical on the axon TPU tunnel): the FIRST
+device-to-host readback in a process permanently disables the client's
+fast dispatch path — every later executable call pays a ~16 ms tunnel
+round-trip (measured: 0.09 ms/call before a single np.asarray(out),
+15.7 ms/call after, no recovery). All timed loops therefore run BEFORE
+any readback (ray counting, finiteness asserts), and BENCH_FULL runs
+every config in its own subprocess so configs cannot poison each other.
+This was the unexplained r2 forward regression (VERDICT r2 missing #3).
+
 Env knobs:
   BENCH_CONFIG  primary config name (default cornell_sphere; one of
                 cornell_sphere | bunny | glass | instanced | interior)
@@ -17,6 +26,7 @@ Env knobs:
 
 import json
 import os
+import subprocess
 import sys
 import tempfile
 import time
@@ -46,7 +56,8 @@ def _configs():
 def bench_config(name, spec, res_override=None, spp_override=None,
                  bounces_override=None):
     """Time forward and backward renders of one config on the device.
-    Returns a history record dict."""
+    Returns a history record dict. ALL timing happens before ANY
+    device-to-host readback (see module docstring)."""
     import jax
     import jax.numpy as jnp
 
@@ -60,7 +71,9 @@ def bench_config(name, spec, res_override=None, spp_override=None,
     spp = spp_override or spp
     bounces = bounces_override or bounces
 
+    t0 = time.perf_counter()
     scene = scene_fn(width, height)
+    build_s = time.perf_counter() - t0
     settings = RenderSettings(width=width, height=height,
                               path_length=bounces)
     n_pix = width * height
@@ -75,14 +88,10 @@ def bench_config(name, spec, res_override=None, spp_override=None,
     bwd = jax.jit(lambda s, p, i: jax.grad(loss, allow_int=True)(
         s.materials, s, p, i))
 
+    # ---- Phase 1: compile + time (NO readbacks in this phase) ----------
     t0 = time.perf_counter()
     fwd(scene, pixel_idx, jnp.uint32(0)).block_until_ready()
     compile_fwd = time.perf_counter() - t0
-
-    # Count actual rays for one representative sample set (not timed).
-    counter = jax.jit(lambda s, p, i: count_rays(s, settings, p, i))
-    totals = [counter(scene, pixel_idx, jnp.uint32(k)) for k in range(spp)]
-    n_rays = float(sum(int(t) + int(sh) for t, sh in totals))
 
     t0 = time.perf_counter()
     out = None
@@ -90,7 +99,6 @@ def bench_config(name, spec, res_override=None, spp_override=None,
         out = fwd(scene, pixel_idx, jnp.uint32(k))
     out.block_until_ready()
     dt_fwd = time.perf_counter() - t0
-    assert np.isfinite(np.asarray(out)).all(), "non-finite radiance"
 
     t0 = time.perf_counter()
     g = bwd(scene, pixel_idx, jnp.uint32(0))
@@ -101,22 +109,61 @@ def bench_config(name, spec, res_override=None, spp_override=None,
         g = bwd(scene, pixel_idx, jnp.uint32(k))
     jax.block_until_ready(g)
     dt_bwd = time.perf_counter() - t0
+
+    # ---- Phase 2: readbacks (poison the fast path; nothing is timed
+    # after this point) --------------------------------------------------
+    assert np.isfinite(np.asarray(out)).all(), "non-finite radiance"
     finite = all(np.isfinite(np.asarray(x)).all()
                  for x in jax.tree_util.tree_leaves(g)
                  if np.issubdtype(np.asarray(x).dtype, np.floating))
     assert finite, "non-finite gradients"
 
-    import jax as _jax
+    counter = jax.jit(lambda s, p, i: count_rays(s, settings, p, i))
+    totals = [counter(scene, pixel_idx, jnp.uint32(k)) for k in range(spp)]
+    n_rays = float(sum(int(t) + int(sh) for t, sh in totals))
+
     return {
         "ts": time.time(), "config": name,
         "value": n_rays / dt_fwd / 1e6, "unit": "Mrays/s",
         "bwd_mrays": n_rays / dt_bwd / 1e6,
         "res": width, "height": height, "spp": spp, "bounces": bounces,
         "tris": int(scene.tri_count),
+        "build_s": round(build_s, 1),
         "compile_fwd_s": round(compile_fwd, 1),
         "compile_bwd_s": round(compile_bwd, 1),
-        "backend": _jax.devices()[0].platform,
+        "backend": jax.devices()[0].platform,
     }
+
+
+def _run_one(primary, res, spp, bounces):
+    """Run one config in THIS process and return its record."""
+    configs = _configs()
+    return bench_config(primary, configs[primary],
+                        int(res) if res else None,
+                        int(spp) if spp else None,
+                        int(bounces) if bounces else None)
+
+
+def _run_subprocess(name):
+    """Run one config in a fresh process (isolates the readback poison
+    and any compile-cache state); returns its record or an error dict."""
+    env = dict(os.environ, BENCH_CONFIG=name, BENCH_SUB="1")
+    env.pop("BENCH_FULL", None)
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, timeout=3600)
+        for line in reversed(out.stdout.strip().splitlines()):
+            try:
+                rec = json.loads(line)
+                if "config" in rec:
+                    return rec
+            except json.JSONDecodeError:
+                continue
+        return {"ts": time.time(), "config": name,
+                "error": (out.stderr or out.stdout)[-300:]}
+    except subprocess.TimeoutExpired:
+        return {"ts": time.time(), "config": name, "error": "timeout"}
 
 
 def main():
@@ -128,24 +175,20 @@ def main():
 
     enable_compile_cache()
     primary = os.environ.get("BENCH_CONFIG", "cornell_sphere")
-    res = os.environ.get("BENCH_RES")
-    spp = os.environ.get("BENCH_SPP")
-    bounces = os.environ.get("BENCH_BOUNCES")
-    configs = _configs()
+    rec = _run_one(primary, os.environ.get("BENCH_RES"),
+                   os.environ.get("BENCH_SPP"),
+                   os.environ.get("BENCH_BOUNCES"))
 
-    rec = bench_config(primary, configs[primary],
-                       int(res) if res else None,
-                       int(spp) if spp else None,
-                       int(bounces) if bounces else None)
+    if os.environ.get("BENCH_SUB"):
+        # Child mode: emit the record for the parent and exit.
+        print(json.dumps(rec))
+        return
+
     records = [rec]
     if os.environ.get("BENCH_FULL"):
-        for name, spec in configs.items():
+        for name in _configs():
             if name != primary:
-                try:
-                    records.append(bench_config(name, spec))
-                except Exception as e:  # keep the primary result alive
-                    records.append({"ts": time.time(), "config": name,
-                                    "error": repr(e)[:200]})
+                records.append(_run_subprocess(name))
 
     hist_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "bench_history.json")

@@ -1,9 +1,14 @@
 """Trace throughput vs scene size: the HBM-resident kernel's scaling
-claim (kernels/trace_hbm.py cost model — time grows with local
+claim (kernels/trace_hbm.py cost model — time grows with visible local
 complexity, not scene size).
 
 Sweeps blob scenes from ~5k to ~1.3M triangles, traces coherent camera
 rays, reports Mrays/s per size (and optionally a TILE_R sweep).
+
+TIMING HYGIENE: the first device-to-host readback in a process
+permanently disables the axon tunnel's fast dispatch (~16 ms/call
+after; see bench.py docstring). Every readback (hit counts) is
+deferred until all configs have been timed.
 
 Usage:  PYTHONPATH=. python benchmarks/scaling_tris.py [--rays 262144]
         [--subdivs 4 5 6 7 8] [--tiles 128 256 512] [--cpu]
@@ -21,6 +26,7 @@ def main():
     ap.add_argument("--subdivs", type=int, nargs="+", default=[4, 5, 6, 7])
     ap.add_argument("--tiles", type=int, nargs="+", default=None,
                     help="also sweep TILE_R values")
+    ap.add_argument("--reps", type=int, default=10)
     ap.add_argument("--cpu", action="store_true",
                     help="CPU interpret-free run (slow; for smoke only)")
     args = ap.parse_args()
@@ -41,6 +47,7 @@ def main():
     from nexus_tpu.scenes import blob_mesh
 
     results = []
+    deferred_hits = []   # device arrays; read back only after all timing
     for sub in args.subdivs:
         v, f = blob_mesh(sub)
         v0 = v[f[:, 0]]
@@ -72,25 +79,28 @@ def main():
                                                 interpret=interp)
             t.block_until_ready()
             t0 = time.perf_counter()
-            reps = 3
-            for _ in range(reps):
+            for _ in range(args.reps):
                 t, slot, inst = K.closest_hit_scene(bs, o_j, d_j,
                                                     tile_r=tile_r,
                                                     interpret=interp)
             t.block_until_ready()
-            dt = (time.perf_counter() - t0) / reps
-            hits = int((np.asarray(slot) >= 0).sum())
+            dt = (time.perf_counter() - t0) / args.reps
             rec = {
                 "tris": int(f.shape[0]), "rays": n, "tile_r": tile_r,
-                "ms": round(dt * 1e3, 2),
+                "ms": round(dt * 1e3, 3),
                 "mrays_s": round(n / dt / 1e6, 3),
-                "hit_frac": round(hits / n, 3),
                 "build_s": round(build_s, 2),
                 "blocks": int(bs.n_blocks),
                 "backend": jax.devices()[0].platform,
             }
             results.append(rec)
-            print(json.dumps(rec), flush=True)
+            deferred_hits.append(slot)
+
+    # All timing done — readbacks are now safe.
+    for rec, slot in zip(results, deferred_hits):
+        rec["hit_frac"] = round(
+            int((np.asarray(slot) >= 0).sum()) / rec["rays"], 3)
+        print(json.dumps(rec), flush=True)
     return results
 
 

@@ -32,6 +32,13 @@ class RenderSettings:
     # Fresnel parity: reproduce the reference's R_perp typo
     # (Nexus/src/Cuda/BSDF/Fresnel.cuh:28) when True.
     strict_fresnel_parity: bool = False
+    # Sort lanes by (dead, octant) every bounce (the queue-compaction
+    # analog of the reference's wavefront queues). Off by default: the
+    # per-ray-culling trace kernel tolerates incoherent tiles (~25%
+    # slower on fully random order) while one argsort + pytree permute
+    # costs ~6.5 ms per 65k-lane bounce on v5e — it only pays off for
+    # very large scenes with deep bounce trees.
+    sort_lanes: bool = False
 
     def __post_init__(self):
         assert self.path_length >= 1

@@ -120,6 +120,62 @@ class BlockedScene:
         return self.tri.shape[0]
 
 
+def _split_big(v0, v1, v2, ids, rel=1 / 24.0, max_rounds=6):
+    """Subdivide triangles whose AABB extent exceeds `rel` x the scene
+    extent (longest-edge midpoint split, 1 -> 2 per round).
+
+    Huge triangles (Cornell walls, ground planes) otherwise give their
+    128-triangle block a scene-sized AABB that every ray tile keeps
+    alive — the per-ray cull degenerates to brute force on them.
+    Splitting is TRAVERSAL-ONLY: `ids` maps every piece back to the
+    original triangle, so hits report original ids and shading/refine
+    (scene/view.py) are unaffected; a piece's Moller-Trumbore t equals
+    the original triangle's t on the shared plane."""
+    v0 = np.asarray(v0, np.float32).copy()
+    v1 = np.asarray(v1, np.float32).copy()
+    v2 = np.asarray(v2, np.float32).copy()
+    ids = np.asarray(ids, np.int32).copy()
+    lo = np.minimum(np.minimum(v0, v1), v2)
+    hi = np.maximum(np.maximum(v0, v1), v2)
+    scene_ext = float((hi.max(axis=0) - lo.min(axis=0)).max())
+    if scene_ext <= 0.0:
+        return v0, v1, v2, ids
+    # Split only OUTLIER triangles: much larger than both the scene
+    # fraction `rel` and 8x the median extent. Uniformly tessellated
+    # meshes are left untouched (their block AABBs are already tight).
+    med = float(np.median((hi - lo).max(axis=1)))
+    thresh = max(scene_ext * rel, 8.0 * med)
+    for _ in range(max_rounds):
+        ext = (np.maximum(np.maximum(v0, v1), v2)
+               - np.minimum(np.minimum(v0, v1), v2)).max(axis=1)
+        big = ext > thresh
+        if not big.any():
+            break
+        b0, b1, b2 = v0[big], v1[big], v2[big]
+        e = np.stack([np.linalg.norm(b1 - b0, axis=1),
+                      np.linalg.norm(b2 - b1, axis=1),
+                      np.linalg.norm(b0 - b2, axis=1)], axis=1)
+        longest = e.argmax(axis=1)
+        m01 = 0.5 * (b0 + b1)
+        m12 = 0.5 * (b1 + b2)
+        m20 = 0.5 * (b2 + b0)
+        mid = np.where((longest == 0)[:, None], m01,
+                       np.where((longest == 1)[:, None], m12, m20))
+        # Split across the longest edge: two children share `mid`.
+        c0a = np.where((longest == 0)[:, None], b0,
+                       np.where((longest == 1)[:, None], b1, b2))
+        c0b = np.where((longest == 0)[:, None], b1,
+                       np.where((longest == 1)[:, None], b2, b0))
+        apex = np.where((longest == 0)[:, None], b2,
+                        np.where((longest == 1)[:, None], b0, b1))
+        keep = ~big
+        v0 = np.concatenate([v0[keep], c0a, mid])
+        v1 = np.concatenate([v1[keep], mid, c0b])
+        v2 = np.concatenate([v2[keep], apex, apex])
+        ids = np.concatenate([ids[keep], ids[big], ids[big]])
+    return v0, v1, v2, ids
+
+
 def _block_tris(v0, v1, v2, order):
     """(N,3)x3 + DFS order -> ((NB,9,128) blocks, (NB,6) object AABBs,
     (NB*128,) to_global). Padding repeats the last triangle's v0 as a
@@ -144,15 +200,10 @@ def _block_tris(v0, v1, v2, order):
             np.concatenate([lo, hi], axis=1), to_global)
 
 
-def _pack_entries(world_lo, world_hi, ent_block, ent_inst):
-    """Morton-sort entries by AABB center, pad to a CHUNK multiple with
-    +BIG sentinel boxes (rejected by the slab pass's validity mask),
-    transpose into (NEC, 8, 128) chunks, and compute the chunk-level
-    parent AABBs (NPC, 8, 128)."""
-    ne = ent_block.shape[0]
-    center = 0.5 * (world_lo + world_hi)
-    span = center.max(axis=0) - center.min(axis=0)
-    q = ((center - center.min(axis=0)) /
+def _morton3(points):
+    """30-bit 3D Morton codes of (N, 3) points (normalized per-axis)."""
+    span = points.max(axis=0) - points.min(axis=0)
+    q = ((points - points.min(axis=0)) /
          np.maximum(span, 1e-20) * 1023.0).astype(np.uint64)
 
     def spread(x):  # interleave bits (10 -> 30)
@@ -162,8 +213,17 @@ def _pack_entries(world_lo, world_hi, ent_block, ent_inst):
         x = (x | (x << 2)) & 0x09249249
         return x
 
-    morton = spread(q[:, 0]) | (spread(q[:, 1]) << 1) | (spread(q[:, 2]) << 2)
-    perm = np.argsort(morton, kind="stable")
+    return spread(q[:, 0]) | (spread(q[:, 1]) << 1) | (spread(q[:, 2]) << 2)
+
+
+def _pack_entries(world_lo, world_hi, ent_block, ent_inst):
+    """Morton-sort entries by AABB center, pad to a CHUNK multiple with
+    +BIG sentinel boxes (rejected by the slab pass's validity mask),
+    transpose into (NEC, 8, 128) chunks, and compute the chunk-level
+    parent AABBs (NPC, 8, 128)."""
+    ne = ent_block.shape[0]
+    center = 0.5 * (world_lo + world_hi)
+    perm = np.argsort(_morton3(center), kind="stable")
     world_lo, world_hi = world_lo[perm], world_hi[perm]
     ent_block, ent_inst = ent_block[perm], ent_inst[perm]
 
@@ -197,9 +257,21 @@ def _pack_entries(world_lo, world_hi, ent_block, ent_inst):
 
 
 def build_blocked_flat(v0, v1, v2, order) -> BlockedScene:
-    """Flat world-space scene: one entry per block, identity instance."""
+    """Flat world-space scene: one entry per block, identity instance.
+
+    Oversized triangles are subdivided for traversal (see _split_big)
+    and the pieces Morton-re-sorted by centroid so blocks stay
+    spatially compact; `order` (the BVH2 DFS order) seeds the id map."""
     order = np.asarray(order, np.int32)
-    tri, oaabb, to_global = _block_tris(v0, v1, v2, order)
+    v0 = np.asarray(v0, np.float32)[order]
+    v1 = np.asarray(v1, np.float32)[order]
+    v2 = np.asarray(v2, np.float32)[order]
+    v0, v1, v2, ids = _split_big(v0, v1, v2, order)
+    perm = np.argsort(_morton3((v0 + v1 + v2) / 3.0), kind="stable")
+    v0, v1, v2, ids = v0[perm], v1[perm], v2[perm], ids[perm]
+    tri, oaabb, tg = _block_tris(
+        v0, v1, v2, np.arange(v0.shape[0], dtype=np.int32))
+    to_global = ids[tg]
     nb = tri.shape[0]
     ids = np.arange(nb, dtype=np.int32)
     aabb, parent, ent_block, ent_inst, ne = _pack_entries(
@@ -238,13 +310,17 @@ def build_blocked_tlas(tl) -> BlockedScene:
         i = int(np.nonzero(inst_blas == b)[0][0])
         off, nt = int(inst_off[i]), int(inst_ntris[i])
         order = tri_order[off:off + nt]  # global tri ids, BLAS DFS order
-        tri, oaabb, tg = _block_tris(v0[order], v1[order], v2[order],
-                                     np.arange(nt, dtype=np.int32))
+        s0, s1, s2, ids = _split_big(v0[order], v1[order], v2[order],
+                                     order)
+        perm = np.argsort(_morton3((s0 + s1 + s2) / 3.0), kind="stable")
+        s0, s1, s2, ids = s0[perm], s1[perm], s2[perm], ids[perm]
+        tri, oaabb, tg = _block_tris(
+            s0, s1, s2, np.arange(s0.shape[0], dtype=np.int32))
         block_base[b] = nbg
         nbg += tri.shape[0]
         tris.append(tri)
         oaabbs.append(oaabb)
-        to_globals.append(order[tg].astype(np.int32))
+        to_globals.append(ids[tg].astype(np.int32))
 
     # Entries: every (instance, block-of-its-BLAS) pair.
     ent_block, ent_inst, wlo, whi = [], [], [], []

@@ -45,6 +45,7 @@ from nexus_tpu.core.config import RenderSettings
 from nexus_tpu.core.math import (barycentric, dot, dot_keep, normalize,
                                  offset_ray, sgne, to_local_frame,
                                  to_world_frame)
+from nexus_tpu.core.gather import take_small
 from nexus_tpu.core.sampling import (is_pdf_valid, power_heuristic,
                                      uniform_index, uniform_triangle)
 from nexus_tpu.geom import triangle as tri_mod
@@ -100,11 +101,12 @@ def _next_event_estimation(scene: SceneData, settings: RenderSettings,
     Returns (shadow_o, shadow_d, shadow_dist, contribution, do_trace).
     """
     light_id = uniform_index(u4[..., 0], scene.n_lights)
-    ntris = scene.light_ntris[light_id]
+    ntris = take_small(scene.light_ntris, light_id)
     k = uniform_index(u4[..., 1], ntris)
-    tri_id = scene.light_tris[scene.light_start[light_id] + k]
-    light_owner = (scene.light_inst[light_id] if scene.is_instanced
-                   else jnp.zeros_like(light_id))
+    tri_id = take_small(scene.light_tris,
+                        take_small(scene.light_start, light_id) + k)
+    light_owner = (take_small(scene.light_inst, light_id)
+                   if scene.is_instanced else jnp.zeros_like(light_id))
 
     uv = uniform_triangle(u4[..., 2], u4[..., 3])
     lv0, lv1, lv2 = view.tri_world_verts(scene, tri_id, light_owner)

@@ -47,8 +47,16 @@ class Materials:
         return self.mtype.shape[0]
 
     def take(self, ids: jnp.ndarray) -> "Materials":
-        """Gather per-ray material records by material id."""
-        return Materials(*(jnp.take(f, ids, axis=0) for f in (
+        """Gather per-ray material records by material id.
+
+        Uses the one-hot contraction for small material sets (the
+        common case) — XLA's serial gather costs ~2.6 ms per 65k
+        indices regardless of table size, and its scatter-add VJP
+        dominates backward; the one-hot path is a matmul both ways
+        (core/gather.py)."""
+        from nexus_tpu.core.gather import take_small
+
+        return Materials(*(take_small(f, ids) for f in (
             self.mtype, self.albedo, self.roughness, self.ior, self.eta,
             self.k, self.emission, self.intensity, self.opacity,
             self.diffuse_map, self.emissive_map)))

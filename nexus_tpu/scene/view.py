@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from nexus_tpu.accel import traverse2, traverse_links, traverse_tlas
 from nexus_tpu.accel.traverse_links import LinkedBVH2, LinkedTLAS
 from nexus_tpu.accel.traverse_tlas import _xform_point, _xform_vector
+from nexus_tpu.core.gather import take_small
 from nexus_tpu.geom.types import MISS_DISTANCE, Intersection
 
 
@@ -110,7 +111,7 @@ def tri_world_verts(scene, tri_id, inst_id):
     PathTracer.cu:370-375)."""
     if scene.is_instanced:
         t = scene.tlas
-        m = t.inst_m[inst_id]
+        m = take_small(t.inst_m, inst_id)
         return (_xform_point(m, t.v0[tri_id]),
                 _xform_point(m, t.v1[tri_id]),
                 _xform_point(m, t.v2[tri_id]))
@@ -126,7 +127,7 @@ def tri_world_normals(scene, tri_id, inst_id):
     n1 = scene.n1[tri_id]
     n2 = scene.n2[tri_id]
     if scene.is_instanced:
-        nm = scene.tlas.inst_nrm[inst_id]  # (..., 3, 3)
+        nm = take_small(scene.tlas.inst_nrm, inst_id)  # (..., 3, 3)
         xf = lambda n: jnp.einsum("...ij,...j->...i", nm, n)
         return xf(n0), xf(n1), xf(n2)
     return n0, n1, n2
@@ -140,7 +141,8 @@ def world_geometric_normal(scene, tri_id, inst_id) -> jnp.ndarray:
         t = scene.tlas
         gn = tri_mod.geometric_normal(t.v0[tri_id], t.v1[tri_id],
                                       t.v2[tri_id])
-        return jnp.einsum("...ij,...j->...i", t.inst_nrm[inst_id], gn)
+        return jnp.einsum("...ij,...j->...i",
+                          take_small(t.inst_nrm, inst_id), gn)
     b = scene.bvh
     return tri_mod.geometric_normal(b.v0[tri_id], b.v1[tri_id], b.v2[tri_id])
 
@@ -149,7 +151,7 @@ def material_id(scene, tri_id, inst_id) -> jnp.ndarray:
     """Material binding: per-instance when instanced (PathTracer.cu:331),
     per-triangle in the flat scene."""
     if scene.is_instanced:
-        return scene.tlas.inst_mat[inst_id]
+        return take_small(scene.tlas.inst_mat, inst_id)
     return scene.tri_mat[tri_id]
 
 
@@ -157,5 +159,5 @@ def hit_inst_ntris(scene, tri_id, inst_id) -> jnp.ndarray:
     """Triangle count of the hit instance's mesh (for the emissive-hit
     MIS light pdf, PathTracer.cu:376)."""
     if scene.is_instanced:
-        return scene.tlas.inst_ntris[inst_id]
-    return scene.inst_ntris[scene.tri_inst[tri_id]]
+        return take_small(scene.tlas.inst_ntris, inst_id)
+    return take_small(scene.inst_ntris, scene.tri_inst[tri_id])
