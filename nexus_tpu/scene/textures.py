@@ -34,6 +34,13 @@ class TextureAtlas:
     """
     data: jnp.ndarray   # (H, W, 4) float32 sheet
     rect: jnp.ndarray   # (T, 4) int32 — (y0, x0, h, w) per texture
+    # Static: no real textures exist (the sheet is the 1x1 white
+    # fallback). Sampling then short-circuits to white WITHOUT emitting
+    # gathers — on TPU each bilinear tap is a serial 65k-index gather
+    # costing ~0.5-2 ms, and a bounce issues 12 of them even for
+    # untextured scenes otherwise (measured via profile: textures.py
+    # taps dominated the cornell shade time).
+    empty: bool = flax.struct.field(pytree_node=False, default=False)
 
     @property
     def count(self) -> int:
@@ -51,6 +58,7 @@ def build_atlas(images: list) -> TextureAtlas:
     non-empty atlas (a 1×1 white texel when no textures exist) so
     sampling needs no empty-case branches.
     """
+    empty = not images
     if not images:
         images = [np.ones((1, 1, 4), np.float32)]
     order = sorted(range(len(images)), key=lambda i: -images[i].shape[0])
@@ -74,7 +82,8 @@ def build_atlas(images: list) -> TextureAtlas:
     for i, im in enumerate(images):
         y0, x0, h, w = rect[i]
         data[y0:y0 + h, x0:x0 + w] = im
-    return TextureAtlas(data=jnp.asarray(data), rect=jnp.asarray(rect))
+    return TextureAtlas(data=jnp.asarray(data), rect=jnp.asarray(rect),
+                        empty=empty)
 
 
 def sample(atlas: TextureAtlas, tex_id: jnp.ndarray,
@@ -84,6 +93,9 @@ def sample(atlas: TextureAtlas, tex_id: jnp.ndarray,
     tex_id < 0 returns opaque white (the no-texture identity — callers
     multiply or select). Returns (..., 4) RGBA.
     """
+    if atlas.empty:
+        # Static fast path: no gathers for untextured scenes.
+        return jnp.ones(tex_id.shape + (4,), jnp.float32)
     tid = jnp.maximum(tex_id, 0)
     r = atlas.rect[tid]                            # (..., 4)
     y0r = r[..., 0]

@@ -22,13 +22,23 @@ SCENES = "/root/reference/Nexus/assets/demo_scenes"
 GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
 
 
-def psnr(img, ref, peak=None):
-    """PSNR in dB over HDR radiance; peak = golden max (HDR convention)."""
-    mse = float(np.mean((img - ref) ** 2))
+def tonemap(img):
+    """ACES + gamma display transform (PathTracer.cu:48-62) — the gate
+    runs in DISPLAY space with a fixed peak of 1.0 (VERDICT r2 weak #4:
+    an HDR-peak convention inflates dB by the emitter's radiance and
+    lets estimator bias slip through)."""
+    a, b, c, d, e = 2.51, 0.03, 2.43, 0.59, 0.14
+    x = np.clip(img, 0.0, None)
+    x = (x * (a * x + b)) / (x * (c * x + d) + e)
+    return np.clip(x, 0.0, 1.0) ** (1.0 / 2.2)
+
+
+def psnr(img, ref):
+    """Display-space PSNR in dB, peak fixed at 1.0."""
+    mse = float(np.mean((tonemap(img) - tonemap(ref)) ** 2))
     if mse == 0.0:
         return np.inf
-    peak = float(ref.max()) if peak is None else peak
-    return 10.0 * np.log10(peak * peak / mse)
+    return 10.0 * np.log10(1.0 / mse)
 
 
 def _render(name):
@@ -49,8 +59,9 @@ def test_golden_psnr(name):
 
 
 def test_psnr_detects_regression():
-    """The gate must actually fire: a 30% exposure error fails it (the
-    HDR peak convention makes the dB scale generous — 5% ≈ 49 dB)."""
+    """The gate must actually fire: small exposure errors fail it in
+    display space (a 10% exposure error lands well under the gate)."""
     ref = np.load(os.path.join(GOLDEN, "cornell_box.npy"))
     assert psnr(ref * 1.3, ref) < 40.0
+    assert psnr(ref * 1.1, ref) < 40.0
     assert psnr(ref, ref) == np.inf
