@@ -26,8 +26,16 @@ def write_png(path: str | Path, hdr_rgb, exposure: float = 0.6):
 
 
 def write_hdr(path: str | Path, hdr_rgb):
-    """Lossless float32 radiance dump (.npy)."""
-    np.save(str(path), np.asarray(hdr_rgb, np.float32))
+    """HDR radiance output. `.hdr` -> Radiance RGBE (io/hdr.py writer,
+    readable by every HDR tool); anything else -> lossless float32
+    .npy."""
+    path = str(path)
+    if path.endswith(".hdr"):
+        from nexus_tpu.io.hdr import write_hdr_rgbe
+
+        write_hdr_rgbe(path, np.asarray(hdr_rgb, np.float32)[..., :3])
+    else:
+        np.save(path, np.asarray(hdr_rgb, np.float32))
 
 
 def read_image(path: str | Path) -> np.ndarray:

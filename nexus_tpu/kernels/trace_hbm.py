@@ -112,6 +112,10 @@ class BlockedScene:
     ent_inst: jnp.ndarray   # (NEC*128,) int32 entry -> instance id
     inst_inv: jnp.ndarray   # (NI, 12) f32 world->object affines
     to_global: jnp.ndarray  # (NBG*128,) int32 block slot -> global tri id
+    obj_aabb: jnp.ndarray   # (NBG, 6) f32 OBJECT-space block AABBs
+    #                         (lo.xyz, hi.xyz) — kept for incremental
+    #                         transform edits (scene/edit.py re-derives
+    #                         entry world AABBs without a host rebuild)
     n_entries: int = flax.struct.field(pytree_node=False, default=0)
     instanced: bool = flax.struct.field(pytree_node=False, default=False)
 
@@ -285,6 +289,7 @@ def build_blocked_flat(v0, v1, v2, order) -> BlockedScene:
         ent_block=jnp.asarray(ent_block), ent_inst=jnp.asarray(ent_inst),
         inst_inv=jnp.asarray(eye.reshape(1, 12)),
         to_global=jnp.asarray(to_global),
+        obj_aabb=jnp.asarray(oaabb.astype(np.float32)),
         n_entries=ne, instanced=False)
 
 
@@ -349,6 +354,8 @@ def build_blocked_tlas(tl) -> BlockedScene:
         ent_block=jnp.asarray(eb), ent_inst=jnp.asarray(ei),
         inst_inv=jnp.asarray(np.asarray(tl.inst_inv).reshape(-1, 12)),
         to_global=jnp.asarray(np.concatenate(to_globals)),
+        obj_aabb=jnp.asarray(
+            np.concatenate(oaabbs).astype(np.float32)),
         n_entries=ne, instanced=True)
 
 
