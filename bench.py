@@ -77,7 +77,16 @@ def bench_config(name, spec, res_override=None, spp_override=None,
     settings = RenderSettings(width=width, height=height,
                               path_length=bounces)
     n_pix = width * height
-    pixel_idx = jnp.arange(n_pix, dtype=jnp.int32)
+    # Lane chunking: >1M-lane megakernel launches exhaust HLO temp
+    # memory (720p/1080p backward residuals). Fixed-size pixel chunks
+    # with gradient accumulation are the production pattern — every
+    # chunk reuses ONE compiled executable.
+    n_chunks = -(-n_pix // (1 << 18))
+    chunk = -(-n_pix // n_chunks)        # even split, minimal padding
+    pixel_pad = jnp.where(jnp.arange(n_chunks * chunk) < n_pix,
+                          jnp.arange(n_chunks * chunk), 0).astype(jnp.int32)
+    chunks = [pixel_pad[c * chunk:(c + 1) * chunk]
+              for c in range(n_chunks)]
 
     fwd = jax.jit(lambda s, p, i: render_pixels(s, settings, p, i))
 
@@ -90,23 +99,25 @@ def bench_config(name, spec, res_override=None, spp_override=None,
 
     # ---- Phase 1: compile + time (NO readbacks in this phase) ----------
     t0 = time.perf_counter()
-    fwd(scene, pixel_idx, jnp.uint32(0)).block_until_ready()
+    fwd(scene, chunks[0], jnp.uint32(0)).block_until_ready()
     compile_fwd = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     out = None
     for k in range(spp):
-        out = fwd(scene, pixel_idx, jnp.uint32(k))
+        for p in chunks:
+            out = fwd(scene, p, jnp.uint32(k))
     out.block_until_ready()
     dt_fwd = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    g = bwd(scene, pixel_idx, jnp.uint32(0))
+    g = bwd(scene, chunks[0], jnp.uint32(0))
     jax.block_until_ready(g)
     compile_bwd = time.perf_counter() - t0
     t0 = time.perf_counter()
     for k in range(spp):
-        g = bwd(scene, pixel_idx, jnp.uint32(k))
+        for p in chunks:
+            g = bwd(scene, p, jnp.uint32(k))
     jax.block_until_ready(g)
     dt_bwd = time.perf_counter() - t0
 
@@ -119,7 +130,8 @@ def bench_config(name, spec, res_override=None, spp_override=None,
     assert finite, "non-finite gradients"
 
     counter = jax.jit(lambda s, p, i: count_rays(s, settings, p, i))
-    totals = [counter(scene, pixel_idx, jnp.uint32(k)) for k in range(spp)]
+    totals = [counter(scene, p, jnp.uint32(k))
+              for k in range(spp) for p in chunks]
     n_rays = float(sum(int(t) + int(sh) for t, sh in totals))
 
     return {

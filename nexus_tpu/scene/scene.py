@@ -253,8 +253,19 @@ class SceneBuilder:
             name=name or f"{self._assets[mesh_id]['name']}.{len(self._inst_records)}"))
         return len(self._inst_records) - 1
 
-    def build_instanced(self, leaf_size: int = 4) -> SceneData:
-        """Build the TLAS→BLAS instanced scene from assets + instances."""
+    def build_instanced(self, leaf_size: int = 4,
+                        accel: str = "links") -> SceneData:
+        """Build the TLAS→BLAS instanced scene from assets + instances.
+
+        accel: "links" (skip-link CPU fallback; TPU always uses the
+        Pallas blocked kernel). "bvh8" is flat-only by design — see
+        docs/accel.md for the routing decision."""
+        if accel == "bvh8":
+            raise NotImplementedError(
+                "CWBVH is the flat-scene CPU-side accel; instanced "
+                "scenes use the skip-link TLAS fallback (CPU) and the "
+                "Pallas blocked kernel (TPU). See docs/accel.md.")
+        assert accel == "links", accel
         assert self._inst_records, "no instances added (use add_instance)"
         materials = self.materials.build()
 
