@@ -24,3 +24,10 @@ if not os.environ.get("NEXUS_TEST_TPU"):
 
     jax.config.update("jax_platforms", "cpu")
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+# Persistent compile cache: the suite is compile-bound (multi-device
+# grad tests alone cost ~1 min of XLA time); warm runs drop well under
+# the 5-minute budget. Safe on every backend.
+from nexus_tpu.core.cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()

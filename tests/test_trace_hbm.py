@@ -58,7 +58,7 @@ def instanced():
 
 def test_flat_closest_matches_bvh2(flat):
     arrs, bs = flat
-    o, d = _rays(777)
+    o, d = _rays(300)
     ref = traverse2.closest_hit(arrs, o, d)
     t, slot, inst = trace_hbm.closest_hit_scene(bs, o, d, interpret=True)
     slot = np.asarray(slot)
@@ -74,7 +74,7 @@ def test_flat_closest_matches_bvh2(flat):
 
 def test_flat_anyhit_matches_bvh2(flat):
     arrs, bs = flat
-    o, d = _rays(778)
+    o, d = _rays(260)
     for tmax in (0.5, 3.0):
         ref = traverse2.any_hit(arrs, o, d, jnp.full((o.shape[0],), tmax))
         got = trace_hbm.any_hit_scene(bs, o, d,
@@ -85,7 +85,7 @@ def test_flat_anyhit_matches_bvh2(flat):
 
 def test_instanced_closest_matches_tlas(instanced):
     tl, bs = instanced
-    o, d = _rays(779)
+    o, d = _rays(300, seed=2)
     ref = traverse_tlas.closest_hit(tl, o, d)
     t, slot, inst = trace_hbm.closest_hit_scene(bs, o, d, interpret=True)
     slot = np.asarray(slot)
@@ -101,7 +101,7 @@ def test_instanced_closest_matches_tlas(instanced):
 
 def test_instanced_anyhit_matches_tlas(instanced):
     tl, bs = instanced
-    o, d = _rays(780)
+    o, d = _rays(260, seed=4)
     ref = traverse_tlas.any_hit(tl, o, d, jnp.full((o.shape[0],), 2.5))
     got = trace_hbm.any_hit_scene(bs, o, d,
                                   jnp.full((o.shape[0],), 2.5),

@@ -100,13 +100,20 @@ def main():
             img = wavefront.render(scene, st, n_samples=args.spp)
             img.block_until_ready()
             renders[(name, mode)] = (img, time.perf_counter() - t0)
-        # Converged self-reference (MIS, high spp).
+        # Converged self-reference (MIS, high spp) — accumulated in
+        # 32-spp pieces: a single multi-minute dispatch trips the
+        # device watchdog on the tunneled TPU.
         st = RenderSettings(width=args.res, height=args.res,
                             path_length=args.bounces, use_mis=True,
                             strict_fresnel_parity=True)
-        img = wavefront.render(scene, st, n_samples=args.ref_spp)
-        img.block_until_ready()
-        renders[(name, "ref")] = (img, 0.0)
+        piece = 32
+        acc = None
+        for off in range(0, args.ref_spp, piece):
+            img = wavefront.render(scene, st, n_samples=piece,
+                                   sample_offset=off)
+            acc = img if acc is None else acc + img
+            acc.block_until_ready()
+        renders[(name, "ref")] = (acc / (args.ref_spp // piece), 0.0)
 
     # All rendering done — now read back and write artifacts.
     for name in scenes:
