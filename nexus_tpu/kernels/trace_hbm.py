@@ -87,7 +87,9 @@ from jax.experimental.pallas import tpu as pltpu
 from nexus_tpu.geom.types import MISS_DISTANCE
 
 CHUNK = 128        # triangles per block == entries per AABB chunk (lanes)
-TILE_R = 128       # rays per grid step (see benchmarks/scaling_tris.py)
+TILE_R = 256       # rays per grid step (sweep on v5e cornell: 256 beats
+#                    128/64 on primary, secondary AND shadow rays;
+#                    benchmarks/scaling_tris.py + tools in docs/perf.md)
 BATCH = 4          # triangle blocks selected/DMA'd/intersected per inner
 #                    iteration. The inner loop is software-pipelined:
 #                    batch i+1's DMAs start (into the other buffer half)
