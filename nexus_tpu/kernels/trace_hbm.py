@@ -39,11 +39,12 @@ at two hierarchy levels, each a single vectorized VPU pass:
 
 Memory layout (host-built by `build_blocked_flat` / `build_blocked_tlas`):
 
-  tri    (NBG, 9, 128) f32  HBM   one 128-triangle block per row, SAH
-                                  (DFS) order per BLAS; rows are
-                                  ax,ay,az,bx,by,bz,cx,cy,cz. Blocks are
-                                  SHARED between instances of one BLAS —
-                                  the instancing memory win survives.
+  tri    (NBG, 9, 128) f32  HBM   one 128-triangle block per row,
+                                  Morton order per BLAS; rows are
+                                  ax,ay,az,bx,by,bz,cx,cy,cz. Blocks
+                                  are SHARED between instances of one
+                                  BLAS — the instancing memory win
+                                  survives.
   aabb   (NEC, 8, 128) f32  VMEM  WORLD-space AABBs of the (block,
                                   instance) entries, 128 per chunk, rows
                                   bmin.xyz / bmax.xyz / pad. ~32 B per
@@ -182,26 +183,29 @@ def _split_big(v0, v1, v2, ids, rel=1 / 24.0, max_rounds=6):
     return v0, v1, v2, ids
 
 
-def _block_tris(v0, v1, v2, order):
-    """(N,3)x3 + DFS order -> ((NB,9,128) blocks, (NB,6) object AABBs,
-    (NB*128,) to_global). Padding repeats the last triangle's v0 as a
-    degenerate point-triangle (Moller-Trumbore rejects det=0)."""
-    n = order.shape[0]
+def _block_tris(v0, v1, v2, gids):
+    """Pre-ordered (N,3)x3 verts + (N,) GLOBAL tri ids ->
+    ((NB,9,128) blocks, (NB,6) object AABBs, (NB*128,) to_global).
+    Padding repeats the last triangle's v0 as a degenerate
+    point-triangle (Moller-Trumbore rejects det=0). (An id row DMA'd
+    with the block was tried and reverted: the per-intersection id
+    select cost more kernel time than the to_global gather it removed —
+    XLA overlaps that gather with kernel execution.)"""
+    gids = np.asarray(gids, np.int32)
+    n = gids.shape[0]
     nb = max((n + CHUNK - 1) // CHUNK, 1)
     pad = nb * CHUNK - n
-    vo = [np.asarray(v, np.float32)[order] for v in (v0, v1, v2)]
+    vo = [np.asarray(v, np.float32) for v in (v0, v1, v2)]
     fill = np.repeat(vo[0][-1:], pad, axis=0)
     b0 = np.concatenate([vo[0], fill]).reshape(nb, CHUNK, 3)
     b1 = np.concatenate([vo[1], fill]).reshape(nb, CHUNK, 3)
     b2 = np.concatenate([vo[2], fill]).reshape(nb, CHUNK, 3)
+    to_global = np.concatenate([gids, np.full(pad, gids[-1], np.int32)])
     tri = np.stack([b0[..., 0], b0[..., 1], b0[..., 2],
                     b1[..., 0], b1[..., 1], b1[..., 2],
                     b2[..., 0], b2[..., 1], b2[..., 2]], axis=1)
     lo = np.minimum(np.minimum(b0, b1), b2).min(axis=1)
     hi = np.maximum(np.maximum(b0, b1), b2).max(axis=1)
-    to_global = np.concatenate(
-        [order.astype(np.int32),
-         np.full(pad, order[-1], np.int32)])
     return (np.ascontiguousarray(tri),
             np.concatenate([lo, hi], axis=1), to_global)
 
@@ -275,9 +279,7 @@ def build_blocked_flat(v0, v1, v2, order) -> BlockedScene:
     v0, v1, v2, ids = _split_big(v0, v1, v2, order)
     perm = np.argsort(_morton3((v0 + v1 + v2) / 3.0), kind="stable")
     v0, v1, v2, ids = v0[perm], v1[perm], v2[perm], ids[perm]
-    tri, oaabb, tg = _block_tris(
-        v0, v1, v2, np.arange(v0.shape[0], dtype=np.int32))
-    to_global = ids[tg]
+    tri, oaabb, to_global = _block_tris(v0, v1, v2, ids)
     nb = tri.shape[0]
     ids = np.arange(nb, dtype=np.int32)
     aabb, parent, ent_block, ent_inst, ne = _pack_entries(
@@ -321,13 +323,12 @@ def build_blocked_tlas(tl) -> BlockedScene:
                                      order)
         perm = np.argsort(_morton3((s0 + s1 + s2) / 3.0), kind="stable")
         s0, s1, s2, ids = s0[perm], s1[perm], s2[perm], ids[perm]
-        tri, oaabb, tg = _block_tris(
-            s0, s1, s2, np.arange(s0.shape[0], dtype=np.int32))
+        tri, oaabb, tg = _block_tris(s0, s1, s2, ids)
         block_base[b] = nbg
         nbg += tri.shape[0]
         tris.append(tri)
         oaabbs.append(oaabb)
-        to_globals.append(ids[tg].astype(np.int32))
+        to_globals.append(tg)
 
     # Entries: every (instance, block-of-its-BLAS) pair.
     ent_block, ent_inst, wlo, whi = [], [], [], []

@@ -200,7 +200,10 @@ def set_material(scene: SceneData, inst_id: int, mat_id: int) -> SceneData:
     inst_tris = np.nonzero(tri_inst == inst_id)[0]
     old_mat = int(tri_mat[inst_tris[0]]) if inst_tris.size else mat_id
     tri_mat[inst_tris] = mat_id
-    scene = scene.replace(tri_mat=jnp.asarray(tri_mat))
+    scene = scene.replace(
+        tri_mat=jnp.asarray(tri_mat),
+        tri_meta=jnp.stack([jnp.asarray(tri_mat, jnp.int32),
+                            jnp.asarray(tri_inst, jnp.int32)], axis=-1))
     if emissive[old_mat] == emissive[mat_id]:
         return scene
     # Rebuild light tables from per-instance triangle ranges.

@@ -58,6 +58,10 @@ class SceneData:
     uv2: jnp.ndarray
     tri_mat: jnp.ndarray     # (N,) int32 material id
     tri_inst: jnp.ndarray    # (N,) int32 owning instance id (pixel query)
+    tri_meta: jnp.ndarray    # (N, 2) int32 [mat, inst] — ONE combined
+    #                          gather serves both lookups per bounce (an
+    #                          XLA gather costs per-index regardless of
+    #                          width; two tables = two serial passes)
     inst_ntris: jnp.ndarray  # (I,) int32 triangles per instance (MIS pdf)
     materials: Materials
     # Mesh lights (flattened): light l owns light_tris[start[l]:start[l]+ntris[l]]
@@ -317,6 +321,7 @@ class SceneBuilder:
             uv0=cat("uv0"), uv1=cat("uv1"), uv2=cat("uv2"),
             tri_mat=jnp.zeros(n_tris, jnp.int32),  # per-instance binding
             tri_inst=jnp.zeros(n_tris, jnp.int32),  # from Intersection
+            tri_meta=jnp.zeros((n_tris, 2), jnp.int32),
             inst_ntris=tl.inst_ntris,
             materials=materials,
             light_start=jnp.asarray(starts, jnp.int32),
@@ -403,6 +408,9 @@ class SceneBuilder:
             uv1=jnp.asarray(np.concatenate(self._uv1)),
             uv2=jnp.asarray(np.concatenate(self._uv2)),
             tri_mat=jnp.asarray(tri_mat), tri_inst=jnp.asarray(tri_inst),
+            tri_meta=jnp.stack([jnp.asarray(tri_mat, jnp.int32),
+                                jnp.asarray(tri_inst, jnp.int32)],
+                               axis=-1),
             inst_ntris=jnp.asarray(
                 [i.tri_count for i in self.instances], jnp.int32),
             materials=materials,

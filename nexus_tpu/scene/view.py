@@ -152,7 +152,7 @@ def material_id(scene, tri_id, inst_id) -> jnp.ndarray:
     per-triangle in the flat scene."""
     if scene.is_instanced:
         return take_small(scene.tlas.inst_mat, inst_id)
-    return scene.tri_mat[tri_id]
+    return scene.tri_meta[tri_id][..., 0]
 
 
 def hit_inst_ntris(scene, tri_id, inst_id) -> jnp.ndarray:
@@ -160,4 +160,4 @@ def hit_inst_ntris(scene, tri_id, inst_id) -> jnp.ndarray:
     MIS light pdf, PathTracer.cu:376)."""
     if scene.is_instanced:
         return take_small(scene.tlas.inst_ntris, inst_id)
-    return take_small(scene.inst_ntris, scene.tri_inst[tri_id])
+    return take_small(scene.inst_ntris, scene.tri_meta[tri_id][..., 1])
