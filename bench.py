@@ -202,8 +202,18 @@ def main():
             if name != primary:
                 records.append(_run_subprocess(name))
 
-    hist_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "bench_history.json")
+    here = os.path.dirname(os.path.abspath(__file__))
+    hist_path = os.path.join(here, "bench_history.json")
+    # vs_baseline compares against the PREVIOUS ROUND's last record of
+    # this config, not whatever ran minutes ago in this round (r2's
+    # silent last-record semantics hid a real regression — VERDICT r2
+    # weak #3). The newest BENCH_r*.json is written by the driver at
+    # each round boundary; records older than it belong to prior rounds.
+    import glob
+
+    round_marks = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")),
+                         key=os.path.getmtime)
+    round_ts = os.path.getmtime(round_marks[-1]) if round_marks else None
     vs_baseline = None
     history = []
     if os.path.exists(hist_path):
@@ -211,7 +221,12 @@ def main():
             history = json.load(open(hist_path))
             prev = [h for h in history
                     if h.get("config", "cornell_sphere") == primary
-                    and "value" in h]
+                    and "value" in h
+                    and (round_ts is None or h.get("ts", 0) <= round_ts)]
+            if not prev:   # no prior-round record: fall back to last
+                prev = [h for h in history
+                        if h.get("config", "cornell_sphere") == primary
+                        and "value" in h]
             if prev:
                 vs_baseline = rec["value"] / prev[-1]["value"]
         except Exception:
