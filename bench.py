@@ -83,8 +83,12 @@ def bench_config(name, spec, res_override=None, spp_override=None,
     # chunk reuses ONE compiled executable.
     n_chunks = -(-n_pix // (1 << 18))
     chunk = -(-n_pix // n_chunks)        # even split, minimal padding
-    pixel_pad = jnp.where(jnp.arange(n_chunks * chunk) < n_pix,
-                          jnp.arange(n_chunks * chunk), 0).astype(jnp.int32)
+    # Z-order enumeration: trace tiles are compact pixel blocks
+    # (core/zorder.py), matching what render()/render_sharded() do.
+    from nexus_tpu.core.zorder import zorder_pixels
+    pixel_pad = jnp.asarray(np.concatenate(
+        [zorder_pixels(width, height),
+         np.zeros(n_chunks * chunk - n_pix, np.int32)]))
     chunks = [pixel_pad[c * chunk:(c + 1) * chunk]
               for c in range(n_chunks)]
 

@@ -71,14 +71,22 @@ def render_sharded(scene: SceneData, settings: RenderSettings,
             jnp.arange(n_samples, dtype=jnp.uint32))
         return acc / n_samples
 
+    from nexus_tpu.core.zorder import zorder_inverse_jnp, zorder_pixels
+
     scene_r = jax.device_put(scene, replicated)
+    # Z-order enumeration (core/zorder.py): each chip's shard is a run
+    # of compact pixel blocks, so trace tiles cull well on every chip.
+    zp = zorder_pixels(scene.camera.width, scene.camera.height)
     pixel_idx = jax.device_put(
         jnp.where(jnp.arange(n_pad) < n_pix,
-                  jnp.arange(n_pad), 0).astype(jnp.int32),
+                  jnp.asarray(np.concatenate(
+                      [zp, np.zeros(n_pad - n_pix, np.int32)])), 0),
         pixel_sharding)
 
     acc = run(scene_r, pixel_idx, n_samples, jnp.uint32(sample_offset))
-    return acc[:n_pix].reshape(scene.camera.height, scene.camera.width, 3)
+    inv = zorder_inverse_jnp(scene.camera.width, scene.camera.height)
+    return acc[:n_pix][inv].reshape(
+        scene.camera.height, scene.camera.width, 3)
 
 
 def train_step(scene: SceneData, settings: RenderSettings,

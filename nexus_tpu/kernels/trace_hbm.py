@@ -27,7 +27,7 @@ at two hierarchy levels, each a single vectorized VPU pass:
                                      live best-t every pop, so occluded
                                      geometry dies as hits accumulate
   node fetch via __ldg               triangle blocks DMA'd HBM->VMEM on
-                                     demand, BATCH at a time; VMEM
+                                     demand, double-buffered; VMEM
                                      holds O(tile), never O(scene)
   TLAS leaf: transform ray into      per-ENTRY instance id: the tile's
   object space (cuh:246-249)         rays are transformed by the
@@ -55,18 +55,23 @@ Memory layout (host-built by `build_blocked_flat` / `build_blocked_tlas`):
   ent_block/ent_inst (NE,)  SMEM  entry -> global block / instance id.
   inst_inv (NI, 12)  f32    SMEM  world->object affine per instance.
 
-A "tile" is TILE_R consecutive rays (the wavefront sorts lanes by
-(dead, octant) so tiles are directionally coherent, which concentrates
-each tile's alive-entry set). Per tile:
+A "tile" is TILE_R consecutive rays. Tile coherence comes from the
+Z-ORDER pixel enumeration (core/zorder.py): a 256-lane camera tile is a
+~16x16 pixel block, and secondary/shadow rays inherit that spatial
+grouping, which concentrates each tile's alive-entry set. (Per-bounce
+(dead, octant) lane sorting is a further opt-in via
+RenderSettings.sort_lanes; off by default — the argsort + pytree
+permute costs more than the residual incoherence.) Per tile:
 
   1. one slab pass per parent row -> Epar[r, c] = ray r's conservative
      entry distance into chunk c (inf when provably missed);
   2. outer loop: pop the chunk whose masked minimum entry (over rays
      still beating their best-t) is smallest; one slab pass ranks its
      entries -> E[r, e];
-  3. inner loop: pop the BATCH nearest alive entries, DMA their blocks,
-     Moller-Trumbore all tile rays against each (capped by the live
-     per-ray best-t), update best-t/slot/instance.
+  3. inner loop: pop the nearest alive entry, DMA its block (next pop's
+     DMA overlaps the current intersection), Moller-Trumbore all tile
+     rays against it (capped by the live per-ray best-t), update
+     best-t/slot/instance.
 
 Cost model: every pass is O(128 boxes / op); pops touch only entries
 some ray still needs, so kernel time scales with the VISIBLE geometric
@@ -91,16 +96,16 @@ CHUNK = 128        # triangles per block == entries per AABB chunk (lanes)
 TILE_R = 256       # rays per grid step (sweep on v5e cornell: 256 beats
 #                    128/64 on primary, secondary AND shadow rays;
 #                    benchmarks/scaling_tris.py + tools in docs/perf.md)
-BATCH = 4          # triangle blocks selected/DMA'd/intersected per inner
-#                    iteration. The inner loop is software-pipelined:
-#                    batch i+1's DMAs start (into the other buffer half)
-#                    before batch i's intersections run, so HBM latency
-#                    hides behind compute. Selection CONSUMES an entry
-#                    from e_ref immediately (sets its column to inf), so
-#                    in-flight entries are never re-selected and every
-#                    started DMA is waited exactly once: a batch's
-#                    start/wait pair lives in the same predicated region,
-#                    and sels from selection are -1-padded at the tail.
+# Inner-loop pipelining: flights of k entries (k = _flight_for(scene),
+# 1 or 2), two flights in DMA flight, and the next flight selected with
+# the LIVE per-ray best-t right after the current one's intersections
+# (_pipelined_pops). Round 3 used BATCH=4 two-deep batching; measured
+# pop statistics (z-order camera tiles on cornell: 2.6 entries/tile
+# actually needed) showed its 8-entry selection lookahead ran on STALE
+# thresholds and intersected ~3x more blocks than required. Selection
+# CONSUMES entries from e_ref immediately (columns go to inf), so
+# in-flight entries are never re-selected and every started DMA is
+# waited exactly once.
 _INF = 3.0e38
 _BIG = 1.0e37
 
@@ -444,26 +449,74 @@ def _entry_rays(instanced, inv_ref, ent_inst_ref, e,
     return tox, toy, toz, tdx, tdy, tdz, inst
 
 
-def _select_consume(e_ref, thresh, lane):
-    """Pick the BATCH nearest entries of e_ref still beating any ray's
-    threshold, CONSUMING them (their columns go to inf so they are
-    never re-selected — required by the pipelined inner loop, which has
-    a batch in flight while the next one is selected). Returns a
-    (BATCH,) int32 lane-id vector, -1-padded once exhausted."""
+def _select(e_ref, thresh, lane, k):
+    """Pick the `k` nearest entries of e_ref still beating some ray's
+    CURRENT threshold, CONSUMING them (their columns go to inf so they
+    are never re-selected — in-flight entries must not be re-picked
+    while the next selection runs). Returns k int32 lane ids (a scalar
+    for k=1), -1-padded once exhausted. Selection sees the LIVE
+    best-t, so pruning tightens after every intersection — the ordered
+    stack + t-prune of BVH8Traversal.cuh:197-222. k trades selection
+    overhead (one masked (R, CHUNK) reduction per call) against
+    threshold staleness: k=1 for shallow scenes where wasted blocks
+    dominate, k=2 for pop-deep scenes where selection cost does."""
     em = jnp.where(e_ref[:] < thresh, e_ref[:], _INF)
     col = jnp.min(em, axis=0, keepdims=True)     # (1, CHUNK)
     sels = []
-    for _ in range(BATCH):
+    for _ in range(k):
         mn = jnp.min(col)
         sel = jnp.min(jnp.where(col == mn, lane, CHUNK))
-        got = mn < _BIG
-        sels.append(jnp.where(got, sel, -1).astype(jnp.int32))
-        col = jnp.where(lane == sel, _INF, col)
+        sels.append(jnp.where(mn < _BIG, sel, -1).astype(jnp.int32))
+        if k > 1:
+            col = jnp.where(lane == sels[-1], _INF, col)
     mask = lane == sels[0]
-    for k in range(1, BATCH):
-        mask = mask | (lane == sels[k])
+    for s in sels[1:]:
+        mask = mask | (lane == s)
     e_ref[:] = jnp.where(mask, _INF, e_ref[:])
-    return jnp.stack(sels)
+    return sels
+
+
+def _pipelined_pops(k, select_fn, dma_fn, hit_fn):
+    """Depth-2 pipelined pop loop over flights of k entries.
+
+    Two flights are in DMA flight at any time; entries of flight i+2
+    are selected immediately after flight i's intersections, so the
+    selection threshold is at most one flight stale while flight i+1's
+    DMAs hide behind flight i's compute. (The TPU re-expression of the
+    persistent-thread dynamic ray fetch + postponement economics of
+    BVH8Traversal.cuh:171-180 — overlap memory with compute while
+    keeping the working set honest.)
+
+    select_fn() -> list of k consumed entry ids (-1-padded);
+    dma_fn(eid, slot) -> async copy handle; hit_fn(eid, slot) waits and
+    intersects. Slots are flight-major: flight slot f in {0,1}, entry j
+    -> buffer slot f*k+j.
+    """
+    def start_flight(sels, f):
+        for j in range(k):
+            @pl.when(sels[j] >= 0)
+            def _(j=j):
+                dma_fn(sels[j], f * k + j).start()
+
+    f0 = select_fn()
+    start_flight(f0, 0)
+    f1 = select_fn()
+    start_flight(f1, 1)
+
+    def body(state):
+        sl = state[-1]
+        cur = state[0:k]
+        nxt = state[k:2 * k]
+        for j in range(k):
+            @pl.when(cur[j] >= 0)
+            def _(j=j):
+                hit_fn(cur[j], sl * k + j)
+        f2 = select_fn()
+        start_flight(f2, sl)
+        return (*nxt, *f2, 1 - sl)
+
+    jax.lax.while_loop(lambda s: s[0] >= 0, body,
+                       (*f0, *f1, jnp.int32(0)))
 
 
 def _traverse(instanced, nec, npc, intersect_chunk,
@@ -514,7 +567,7 @@ def _traverse(instanced, nec, npc, intersect_chunk,
     jax.lax.while_loop(lambda go: go, outer_body, True)
 
 
-def _closest_kernel(instanced, nec, npc,
+def _closest_kernel(instanced, nec, npc, flight,
                     ent_blk_ref, ent_inst_ref, inv_ref,       # SMEM
                     ray_ref, aabb_ref, parent_ref, tri_hbm,   # VMEM/ANY
                     t_ref, slot_ref, inst_ref,                # outputs
@@ -532,18 +585,18 @@ def _closest_kernel(instanced, nec, npc,
         laneT = jax.lax.broadcasted_iota(jnp.int32,
                                          (t_ref.shape[0], CHUNK), 1)
 
-        def dma(e, sl, k):
+        def dma(e, sl):
             b = ent_blk_ref[e]
-            return pltpu.make_async_copy(tri_hbm.at[b], buf.at[sl, k],
-                                         sem.at[sl, k])
+            return pltpu.make_async_copy(tri_hbm.at[b], buf.at[sl],
+                                         sem.at[sl])
 
-        def intersect(eid, sl, k):
-            dma(eid, sl, k).wait()
+        def intersect(eid, sl):
+            dma(eid, sl).wait()
             t_best = t_ref[:]
             tox, toy, toz, tdx, tdy, tdz, inst = _entry_rays(
                 instanced, inv_ref, ent_inst_ref, eid,
                 ox, oy, oz, dx, dy, dz)
-            t = _mt_block(buf.at[sl], k, tox, toy, toz,
+            t = _mt_block(buf, sl, tox, toy, toz,
                           tdx, tdy, tdz, t_best)
             t_min = jnp.min(t, axis=1, keepdims=True)
             kk = jnp.min(jnp.where(t == t_min, laneT, CHUNK),
@@ -556,34 +609,18 @@ def _closest_kernel(instanced, nec, npc,
                 inst_ref[:] = jnp.where(better, inst, inst_ref[:])
 
         def intersect_chunk(c):
-            sels0 = _select_consume(e_ref, t_ref[:], laneC)
-            for k in range(BATCH):
-                @pl.when(sels0[k] >= 0)
-                def _(k=k):
-                    dma(c * CHUNK + sels0[k], 0, k).start()
-
-            def inner_body(s):
-                sels_cur, sl = s
-                sels_nxt = _select_consume(e_ref, t_ref[:], laneC)
-                for k in range(BATCH):
-                    @pl.when(sels_nxt[k] >= 0)
-                    def _(k=k):
-                        dma(c * CHUNK + sels_nxt[k], 1 - sl, k).start()
-                for k in range(BATCH):
-                    @pl.when(sels_cur[k] >= 0)
-                    def _(k=k):
-                        intersect(c * CHUNK + sels_cur[k], sl, k)
-                return sels_nxt, 1 - sl
-
-            jax.lax.while_loop(lambda s: s[0][0] >= 0, inner_body,
-                               (sels0, jnp.int32(0)))
+            _pipelined_pops(
+                flight,
+                lambda: _select(e_ref, t_ref[:], laneC, flight),
+                lambda e, sl: dma(c * CHUNK + e, sl),
+                lambda e, sl: intersect(c * CHUNK + e, sl))
 
         _traverse(instanced, nec, npc, intersect_chunk,
                   ent_inst_ref, inv_ref, ray_ref, aabb_ref, parent_ref,
                   epar_ref, e_ref, lambda: t_ref[:])
 
 
-def _anyhit_kernel(instanced, nec, npc,
+def _anyhit_kernel(instanced, nec, npc, flight,
                    ent_blk_ref, ent_inst_ref, inv_ref,
                    ray_ref, aabb_ref, parent_ref, tri_hbm,
                    hit_ref,
@@ -603,42 +640,28 @@ def _anyhit_kernel(instanced, nec, npc,
             # fully occluded tile keeps nothing alive -> early exit.
             return jnp.where(hit_ref[:], 0.0, tmax)
 
-        def dma(e, sl, k):
+        def dma(e, sl):
             b = ent_blk_ref[e]
-            return pltpu.make_async_copy(tri_hbm.at[b], buf.at[sl, k],
-                                         sem.at[sl, k])
+            return pltpu.make_async_copy(tri_hbm.at[b], buf.at[sl],
+                                         sem.at[sl])
+
+        def intersect(eid, sl):
+            dma(eid, sl).wait()
+            tox, toy, toz, tdx, tdy, tdz, _u = _entry_rays(
+                instanced, inv_ref, ent_inst_ref, eid,
+                ox, oy, oz, dx, dy, dz)
+            cp = cap()
+            t = _mt_block(buf, sl, tox, toy, toz,
+                          tdx, tdy, tdz, cp)
+            hit_ref[:] = hit_ref[:] | jnp.any(
+                t < cp, axis=1, keepdims=True)
 
         def intersect_chunk(c):
-            sels0 = _select_consume(e_ref, cap(), laneC)
-            for k in range(BATCH):
-                @pl.when(sels0[k] >= 0)
-                def _(k=k):
-                    dma(c * CHUNK + sels0[k], 0, k).start()
-
-            def inner_body(s):
-                sels_cur, sl = s
-                sels_nxt = _select_consume(e_ref, cap(), laneC)
-                for k in range(BATCH):
-                    @pl.when(sels_nxt[k] >= 0)
-                    def _(k=k):
-                        dma(c * CHUNK + sels_nxt[k], 1 - sl, k).start()
-                for k in range(BATCH):
-                    @pl.when(sels_cur[k] >= 0)
-                    def _(k=k):
-                        eid = c * CHUNK + sels_cur[k]
-                        dma(eid, sl, k).wait()
-                        tox, toy, toz, tdx, tdy, tdz, _u = _entry_rays(
-                            instanced, inv_ref, ent_inst_ref, eid,
-                            ox, oy, oz, dx, dy, dz)
-                        cp = cap()
-                        t = _mt_block(buf.at[sl], k, tox, toy, toz,
-                                      tdx, tdy, tdz, cp)
-                        hit_ref[:] = hit_ref[:] | jnp.any(
-                            t < cp, axis=1, keepdims=True)
-                return sels_nxt, 1 - sl
-
-            jax.lax.while_loop(lambda s: s[0][0] >= 0, inner_body,
-                               (sels0, jnp.int32(0)))
+            _pipelined_pops(
+                flight,
+                lambda: _select(e_ref, cap(), laneC, flight),
+                lambda e, sl: dma(c * CHUNK + e, sl),
+                lambda e, sl: intersect(c * CHUNK + e, sl))
 
         _traverse(instanced, nec, npc, intersect_chunk,
                   ent_inst_ref, inv_ref, ray_ref, aabb_ref, parent_ref,
@@ -663,7 +686,16 @@ def _pack_rays(ray_o, ray_d, t_max, rp):
     return jnp.pad(packed, ((0, rp - r), (0, 0)))
 
 
-def _common_specs(nec, npc, tile_r):
+def _flight_for(n_entries: int) -> int:
+    """Entries selected per pipeline flight. Shallow scenes (everything
+    in one chunk) want zero staleness (k=1: every pop re-checked against
+    live best-t); pop-deep scenes amortize the per-selection masked
+    reduction over two pops (measured: k=1 wins on cornell, k=2 on the
+    82k-tri blob; docs/perf.md)."""
+    return 1 if n_entries <= CHUNK else 2
+
+
+def _common_specs(nec, npc, tile_r, flight):
     smem = [pl.BlockSpec(memory_space=pltpu.SMEM) for _ in range(3)]
     in_specs = smem + [
         pl.BlockSpec((tile_r, 8), lambda i: (i, 0),
@@ -674,14 +706,15 @@ def _common_specs(nec, npc, tile_r):
     ]
     scratch = [pltpu.VMEM((tile_r, npc * CHUNK), jnp.float32),
                pltpu.VMEM((tile_r, CHUNK), jnp.float32),
-               pltpu.VMEM((2, BATCH, 9, CHUNK), jnp.float32),
-               pltpu.SemaphoreType.DMA((2, BATCH))]
+               pltpu.VMEM((2 * flight, 9, CHUNK), jnp.float32),
+               pltpu.SemaphoreType.DMA((2 * flight,))]
     return in_specs, scratch
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "tile_r"))
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "tile_r", "flight"))
 def closest_hit_scene(bs: BlockedScene, ray_o, ray_d, interpret=False,
-                      tile_r=TILE_R):
+                      tile_r=TILE_R, flight=None):
     """Closest hit. Returns (t, slot, inst): slot = block*128 + lane
     (-1 on miss; map through bs.to_global for the global triangle id),
     inst = instance id (0 for flat scenes)."""
@@ -690,11 +723,13 @@ def closest_hit_scene(bs: BlockedScene, ray_o, ray_d, interpret=False,
     rays = _pack_rays(ray_o, ray_d,
                       jnp.full((r,), MISS_DISTANCE, jnp.float32), rp)
     nec, npc = bs.aabb.shape[0], bs.parent.shape[0]
-    in_specs, scratch = _common_specs(nec, npc, tile_r)
+    flight = flight or _flight_for(bs.n_entries)
+    in_specs, scratch = _common_specs(nec, npc, tile_r, flight)
     col = pl.BlockSpec((tile_r, 1), lambda i: (i, 0),
                        memory_space=pltpu.VMEM)
     t, slot, inst = pl.pallas_call(
-        functools.partial(_closest_kernel, bs.instanced, nec, npc),
+        functools.partial(_closest_kernel, bs.instanced, nec, npc,
+                          flight),
         grid=(rp // tile_r,),
         in_specs=in_specs,
         out_specs=(col, col, col),
@@ -708,18 +743,21 @@ def closest_hit_scene(bs: BlockedScene, ray_o, ray_d, interpret=False,
     return t.reshape(rp)[:r], slot.reshape(rp)[:r], inst.reshape(rp)[:r]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "tile_r"))
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "tile_r", "flight"))
 def any_hit_scene(bs: BlockedScene, ray_o, ray_d, t_max, interpret=False,
-                  tile_r=TILE_R):
+                  tile_r=TILE_R, flight=None):
     """Occlusion test (True = some hit with t < t_max)."""
     r = ray_o.shape[0]
     rp = max((r + tile_r - 1) // tile_r, 1) * tile_r
     tm = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,))
     rays = _pack_rays(ray_o, ray_d, tm, rp)
     nec, npc = bs.aabb.shape[0], bs.parent.shape[0]
-    in_specs, scratch = _common_specs(nec, npc, tile_r)
+    flight = flight or _flight_for(bs.n_entries)
+    in_specs, scratch = _common_specs(nec, npc, tile_r, flight)
     hit = pl.pallas_call(
-        functools.partial(_anyhit_kernel, bs.instanced, nec, npc),
+        functools.partial(_anyhit_kernel, bs.instanced, nec, npc,
+                          flight),
         grid=(rp // tile_r,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((tile_r, 1), lambda i: (i, 0),

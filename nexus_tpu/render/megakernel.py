@@ -409,26 +409,32 @@ def _render_one(scene, settings, sample_idx):
 
 
 @functools.partial(jax.jit, static_argnames=("settings", "n_samples"))
-def _render_fused(scene, settings, n_samples, sample_offset):
+def _render_fused(scene, settings, pix, inv, n_samples, sample_offset):
     """All n_samples in ONE dispatch: lax.scan over sample indices.
     sample_offset is traced, so resuming at a different offset does not
-    recompile."""
-    n_pix = scene.camera.width * scene.camera.height
-    pix = jnp.arange(n_pix, dtype=jnp.int32)
-
+    recompile. `pix` is the frame's pixel enumeration (z-order for
+    trace-tile coherence, core/zorder.py) and `inv` its inverse; both
+    are passed as arguments (a closure-captured 65k constant would be
+    re-uploaded per executable)."""
     def body(acc, s):
         return acc + render_pixels(scene, settings, pix,
                                    sample_offset + s), None
 
-    acc, _ = lax.scan(body, jnp.zeros((n_pix, 3), jnp.float32),
+    acc, _ = lax.scan(body, jnp.zeros((pix.shape[0], 3), jnp.float32),
                       jnp.arange(n_samples, dtype=jnp.uint32))
-    return acc / n_samples
+    # One gather restores row-major pixel order per frame (not per
+    # sample) — lane i held pixel pix[i].
+    return acc[inv] / n_samples
 
 
 def render(scene: SceneData, settings: RenderSettings, n_samples: int,
            sample_offset: int = 0) -> jnp.ndarray:
     """Progressive-mean accumulation over n_samples (AccumulateKernel
     semantics, PathTracer.cu:489-492). Returns (H, W, 3) HDR."""
-    acc = _render_fused(scene, settings, n_samples,
+    from nexus_tpu.core.zorder import zorder_inverse_jnp, zorder_pixels_jnp
+
+    w, h = scene.camera.width, scene.camera.height
+    acc = _render_fused(scene, settings, zorder_pixels_jnp(w, h),
+                        zorder_inverse_jnp(w, h), n_samples,
                         jnp.uint32(sample_offset))
     return acc.reshape(scene.camera.height, scene.camera.width, 3)

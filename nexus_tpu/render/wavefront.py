@@ -3,19 +3,30 @@
 The reference's wavefront architecture routes rays through global work
 queues so each kernel runs on a dense, coherent working set
 (Nexus/src/Cuda/PathTracer/PathTracer.cu:177-209 queue routing;
-Nexus/src/Renderer/PathTracer.cpp:114-124 stage graph). On TPU, queues
-and atomics are replaced by a SORT: before every bounce the lanes are
-reordered by (dead, direction-octant) with one `jnp.argsort` (~30us for
-65k lanes on chip — measured, effectively free):
+Nexus/src/Renderer/PathTracer.cpp:114-124 stage graph). On TPU, the
+default coherence mechanism is the Z-ORDER pixel enumeration
+(core/zorder.py): trace tiles are compact pixel blocks for camera rays
+and stay spatially grouped across bounces, and dead lanes are parked at
++inf origin so the trace kernel's slab tests skip them.
 
-  - dead lanes sink to the tail and their trace inputs are parked at
-    +inf origin, so whole ray tiles of the Pallas trace kernel see no
-    block AABB and skip every triangle block — tile-granular stream
-    compaction without a host round-trip or a shape change;
-  - live lanes cluster by octant, making tiles directionally coherent,
-    which is what the kernel's whole-tile block culling feeds on — the
-    TPU analog of the reference's warp-coherence tricks (dynamic ray
+This module adds the queue analog on top, OPT-IN via
+RenderSettings.sort_lanes (default False): before every bounce the
+lanes are reordered by (dead, direction-octant) with one `jnp.argsort`:
+
+  - dead lanes sink to the tail, so whole ray tiles of the Pallas trace
+    kernel are parked and skip every triangle block — tile-granular
+    stream compaction without a host round-trip or a shape change;
+  - live lanes cluster by octant, making tiles directionally coherent —
+    the TPU analog of the reference's warp-coherence tricks (dynamic ray
     fetch + triangle postponement, BVH8Traversal.cuh:171-180,269-277).
+
+It is off by default because it does not currently pay: the argsort +
+pytree permute costs ~6.5 ms per 65k-lane bounce on v5e while the
+per-ray-culling kernel tolerates the residual incoherence of z-ordered
+lanes (docs/perf.md). With sort_lanes=False this module is the
+megakernel integrator plus a no-op permutation (kept as one honest code
+path; the sort becomes worthwhile for deep bounce trees where most
+lanes die early).
 
 The bounce body itself is shared with render/megakernel.py (`_bounce`),
 so the two integrators are sampling-identical per lane; only lane ORDER
@@ -98,27 +109,29 @@ def render_pixels(scene: SceneData, settings: RenderSettings,
 
 
 @functools.partial(jax.jit, static_argnames=("settings", "n_samples"))
-def _render_fused(scene, settings, n_samples, sample_offset):
+def _render_fused(scene, settings, pix, inv, n_samples, sample_offset):
     """All n_samples in ONE dispatch (lax.scan over sample indices),
     cached at module level — a fresh jit closure per render() call
     would recompile every invocation. sample_offset is traced so
-    resuming does not recompile."""
-    n_pix = scene.camera.width * scene.camera.height
-    pix = jnp.arange(n_pix, dtype=jnp.int32)
-
+    resuming does not recompile. `pix`/`inv` are the z-order pixel
+    enumeration and its inverse (core/zorder.py)."""
     def body(acc, s):
         return acc + render_pixels(scene, settings, pix,
                                    sample_offset + s), None
 
-    acc, _ = jax.lax.scan(body, jnp.zeros((n_pix, 3), jnp.float32),
+    acc, _ = jax.lax.scan(body, jnp.zeros((pix.shape[0], 3), jnp.float32),
                           jnp.arange(n_samples, dtype=jnp.uint32))
-    return acc / n_samples
+    return acc[inv] / n_samples
 
 
 def render(scene: SceneData, settings: RenderSettings, n_samples: int,
            sample_offset: int = 0) -> jnp.ndarray:
     """Progressive-mean accumulation (AccumulateKernel semantics,
     PathTracer.cu:489-492) over the wavefront pipeline."""
-    acc = _render_fused(scene, settings, n_samples,
+    from nexus_tpu.core.zorder import zorder_inverse_jnp, zorder_pixels_jnp
+
+    w, h = scene.camera.width, scene.camera.height
+    acc = _render_fused(scene, settings, zorder_pixels_jnp(w, h),
+                        zorder_inverse_jnp(w, h), n_samples,
                         jnp.uint32(sample_offset))
     return acc.reshape(scene.camera.height, scene.camera.width, 3)
