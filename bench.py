@@ -165,6 +165,11 @@ def _run_subprocess(name):
     and any compile-cache state); returns its record or an error dict."""
     env = dict(os.environ, BENCH_CONFIG=name, BENCH_SUB="1")
     env.pop("BENCH_FULL", None)
+    # Shape overrides apply to the PRIMARY config only — a child would
+    # otherwise run its config at the overridden shape and append that
+    # to history as if it were the standard run.
+    for k in ("BENCH_RES", "BENCH_SPP", "BENCH_BOUNCES"):
+        env.pop(k, None)
     try:
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
@@ -211,13 +216,19 @@ def main():
     # vs_baseline compares against the PREVIOUS ROUND's last record of
     # this config, not whatever ran minutes ago in this round (r2's
     # silent last-record semantics hid a real regression — VERDICT r2
-    # weak #3). The newest BENCH_r*.json is written by the driver at
-    # each round boundary; records older than it belong to prior rounds.
+    # weak #3). The current round number = 1 + the highest BENCH_r<N>
+    # the driver has written; each history record is stamped with the
+    # round it ran in (file content, not mtime — git checkouts do not
+    # preserve mtimes).
     import glob
+    import re
 
-    round_marks = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")),
-                         key=os.path.getmtime)
-    round_ts = os.path.getmtime(round_marks[-1]) if round_marks else None
+    prev_rounds = [int(m.group(1)) for p in
+                   glob.glob(os.path.join(here, "BENCH_r*.json"))
+                   if (m := re.search(r"BENCH_r(\d+)\.json$", p))]
+    cur_round = max(prev_rounds, default=0) + 1
+    for r_ in records:
+        r_["round"] = cur_round
     vs_baseline = None
     history = []
     if os.path.exists(hist_path):
@@ -226,7 +237,7 @@ def main():
             prev = [h for h in history
                     if h.get("config", "cornell_sphere") == primary
                     and "value" in h
-                    and (round_ts is None or h.get("ts", 0) <= round_ts)]
+                    and h.get("round", 0) < cur_round]
             if not prev:   # no prior-round record: fall back to last
                 prev = [h for h in history
                         if h.get("config", "cornell_sphere") == primary

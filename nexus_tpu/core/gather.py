@@ -31,6 +31,10 @@ def take_small(table: jnp.ndarray, ids: jnp.ndarray,
     m = table.shape[0]
     if m > cap:
         return jnp.take(table, ids, axis=0)
+    # Clamp so both paths share jnp.take's out-of-range semantics (the
+    # one-hot would otherwise map bad ids to zeros — a silent semantic
+    # flip when a table crosses the cap).
+    ids = jnp.clip(ids, 0, m - 1)
     iota = jnp.arange(m, dtype=jnp.int32)
     eq = ids[..., None].astype(jnp.int32) == iota        # ids.shape + (M,)
     if jnp.issubdtype(table.dtype, jnp.floating):

@@ -139,19 +139,29 @@ def _split_big(v0, v1, v2, ids, rel=1 / 24.0, max_rounds=6):
     Huge triangles (Cornell walls, ground planes) otherwise give their
     128-triangle block a scene-sized AABB that every ray tile keeps
     alive — the per-ray cull degenerates to brute force on them.
-    Splitting is TRAVERSAL-ONLY: `ids` maps every piece back to the
-    original triangle, so hits report original ids and shading/refine
-    (scene/view.py) are unaffected; a piece's Moller-Trumbore t equals
-    the original triangle's t on the shared plane."""
+
+    SBVH-style (the same dodge spatial-split BVHs use for references
+    that straddle splits): each piece keeps the ORIGINAL triangle's
+    vertices for intersection and contributes only its clipped bounds
+    to the block/entry AABB. Intersecting split geometry in f32 can
+    miss both pieces of a hit near the shared interior edge (seam
+    pinholes); intersecting the full original triangle per piece cannot
+    — duplicate hits across pieces return the identical t and are
+    harmless for closest/any-hit. `ids` maps pieces back to original
+    triangle ids, so shading/refine (scene/view.py) are unaffected.
+
+    Returns (ov0, ov1, ov2, lo, hi, ids): original verts per piece,
+    piece AABBs, original ids."""
     v0 = np.asarray(v0, np.float32).copy()
     v1 = np.asarray(v1, np.float32).copy()
     v2 = np.asarray(v2, np.float32).copy()
     ids = np.asarray(ids, np.int32).copy()
+    ov0, ov1, ov2 = v0, v1, v2       # originals travel with each piece
     lo = np.minimum(np.minimum(v0, v1), v2)
     hi = np.maximum(np.maximum(v0, v1), v2)
     scene_ext = float((hi.max(axis=0) - lo.min(axis=0)).max())
     if scene_ext <= 0.0:
-        return v0, v1, v2, ids
+        return ov0, ov1, ov2, lo, hi, ids
     # Split only OUTLIER triangles: much larger than both the scene
     # fraction `rel` and 8x the median extent. Uniformly tessellated
     # meshes are left untouched (their block AABBs are already tight).
@@ -185,13 +195,20 @@ def _split_big(v0, v1, v2, ids, rel=1 / 24.0, max_rounds=6):
         v1 = np.concatenate([v1[keep], mid, c0b])
         v2 = np.concatenate([v2[keep], apex, apex])
         ids = np.concatenate([ids[keep], ids[big], ids[big]])
-    return v0, v1, v2, ids
+        ov0 = np.concatenate([ov0[keep], ov0[big], ov0[big]])
+        ov1 = np.concatenate([ov1[keep], ov1[big], ov1[big]])
+        ov2 = np.concatenate([ov2[keep], ov2[big], ov2[big]])
+    lo = np.minimum(np.minimum(v0, v1), v2)
+    hi = np.maximum(np.maximum(v0, v1), v2)
+    return ov0, ov1, ov2, lo, hi, ids
 
 
-def _block_tris(v0, v1, v2, gids):
-    """Pre-ordered (N,3)x3 verts + (N,) GLOBAL tri ids ->
-    ((NB,9,128) blocks, (NB,6) object AABBs, (NB*128,) to_global).
-    Padding repeats the last triangle's v0 as a degenerate
+def _block_tris(v0, v1, v2, plo, phi, gids):
+    """Pre-ordered (N,3)x3 verts + (N,3)x2 piece bounds + (N,) GLOBAL
+    tri ids -> ((NB,9,128) blocks, (NB,6) object AABBs, (NB*128,)
+    to_global). The block AABB is the union of PIECE bounds (tight for
+    split outliers, _split_big), while the packed verts are the full
+    originals. Padding repeats the last triangle's v0 as a degenerate
     point-triangle (Moller-Trumbore rejects det=0). (An id row DMA'd
     with the block was tried and reverted: the per-intersection id
     select cost more kernel time than the to_global gather it removed —
@@ -209,8 +226,12 @@ def _block_tris(v0, v1, v2, gids):
     tri = np.stack([b0[..., 0], b0[..., 1], b0[..., 2],
                     b1[..., 0], b1[..., 1], b1[..., 2],
                     b2[..., 0], b2[..., 1], b2[..., 2]], axis=1)
-    lo = np.minimum(np.minimum(b0, b1), b2).min(axis=1)
-    hi = np.maximum(np.maximum(b0, b1), b2).max(axis=1)
+    # Padding pieces are points — they never widen the union.
+    pfill = np.repeat(np.asarray(plo, np.float32)[-1:], pad, axis=0)
+    lo = np.concatenate([np.asarray(plo, np.float32),
+                         pfill]).reshape(nb, CHUNK, 3).min(axis=1)
+    hi = np.concatenate([np.asarray(phi, np.float32),
+                         pfill]).reshape(nb, CHUNK, 3).max(axis=1)
     return (np.ascontiguousarray(tri),
             np.concatenate([lo, hi], axis=1), to_global)
 
@@ -281,10 +302,11 @@ def build_blocked_flat(v0, v1, v2, order) -> BlockedScene:
     v0 = np.asarray(v0, np.float32)[order]
     v1 = np.asarray(v1, np.float32)[order]
     v2 = np.asarray(v2, np.float32)[order]
-    v0, v1, v2, ids = _split_big(v0, v1, v2, order)
-    perm = np.argsort(_morton3((v0 + v1 + v2) / 3.0), kind="stable")
+    v0, v1, v2, plo, phi, ids = _split_big(v0, v1, v2, order)
+    perm = np.argsort(_morton3(0.5 * (plo + phi)), kind="stable")
     v0, v1, v2, ids = v0[perm], v1[perm], v2[perm], ids[perm]
-    tri, oaabb, to_global = _block_tris(v0, v1, v2, ids)
+    plo, phi = plo[perm], phi[perm]
+    tri, oaabb, to_global = _block_tris(v0, v1, v2, plo, phi, ids)
     nb = tri.shape[0]
     ids = np.arange(nb, dtype=np.int32)
     aabb, parent, ent_block, ent_inst, ne = _pack_entries(
@@ -324,11 +346,12 @@ def build_blocked_tlas(tl) -> BlockedScene:
         i = int(np.nonzero(inst_blas == b)[0][0])
         off, nt = int(inst_off[i]), int(inst_ntris[i])
         order = tri_order[off:off + nt]  # global tri ids, BLAS DFS order
-        s0, s1, s2, ids = _split_big(v0[order], v1[order], v2[order],
-                                     order)
-        perm = np.argsort(_morton3((s0 + s1 + s2) / 3.0), kind="stable")
+        s0, s1, s2, plo, phi, ids = _split_big(
+            v0[order], v1[order], v2[order], order)
+        perm = np.argsort(_morton3(0.5 * (plo + phi)), kind="stable")
         s0, s1, s2, ids = s0[perm], s1[perm], s2[perm], ids[perm]
-        tri, oaabb, tg = _block_tris(s0, s1, s2, ids)
+        plo, phi = plo[perm], phi[perm]
+        tri, oaabb, tg = _block_tris(s0, s1, s2, plo, phi, ids)
         block_base[b] = nbg
         nbg += tri.shape[0]
         tris.append(tri)
