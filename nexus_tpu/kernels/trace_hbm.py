@@ -65,13 +65,15 @@ permute costs more than the residual incoherence.) Per tile:
 
   1. one slab pass per parent row -> Epar[r, c] = ray r's conservative
      entry distance into chunk c (inf when provably missed);
-  2. outer loop: pop the chunk whose masked minimum entry (over rays
-     still beating their best-t) is smallest; one slab pass ranks its
-     entries -> E[r, e];
-  3. inner loop: pop the nearest alive entry, DMA its block (next pop's
-     DMA overlaps the current intersection), Moller-Trumbore all tile
-     rays against it (capped by the live per-ray best-t), update
-     best-t/slot/instance.
+  2. outer loop: pop the GC(<=4) nearest alive chunks TOGETHER (masked
+     minimum over rays still beating their best-t); one slab pass per
+     chunk ranks their entries into a (R, GC*128) window — the wide
+     window keeps pops globally near-ordered across chunk boundaries
+     (see _traverse);
+  3. inner loop: pop the nearest alive window entry, DMA its block
+     (next pop's DMA overlaps the current intersection),
+     Moller-Trumbore all tile rays against it (capped by the live
+     per-ray best-t), update best-t/slot/instance.
 
 Cost model: every pass is O(128 boxes / op); pops touch only entries
 some ray still needs, so kernel time scales with the VISIBLE geometric
@@ -93,9 +95,13 @@ from jax.experimental.pallas import tpu as pltpu
 from nexus_tpu.geom.types import MISS_DISTANCE
 
 CHUNK = 128        # triangles per block == entries per AABB chunk (lanes)
-TILE_R = 256       # rays per grid step (sweep on v5e cornell: 256 beats
-#                    128/64 on primary, secondary AND shadow rays;
-#                    benchmarks/scaling_tris.py + tools in docs/perf.md)
+TILE_R = 128       # rays per grid step. Swept on v5e with the
+#                    windowed traversal (benchmarks/scaling_tris.py
+#                    --tiles; docs/perf.md): 128 beats 256 on secondary
+#                    (incoherent) rays by ~15-20% — every (R, 128) op is
+#                    R/8 issue slots, so smaller tiles waste fewer
+#                    lanes per pop once per-tile pop counts stop
+#                    shrinking with R — and matches 256 on camera rays.
 # Inner-loop pipelining: flights of k entries (k = _flight_for(scene),
 # 1 or 2), two flights in DMA flight, and the next flight selected with
 # the LIVE per-ray best-t right after the current one's intersections
@@ -484,11 +490,16 @@ def _select(e_ref, thresh, lane, k):
     threshold staleness: k=1 for shallow scenes where wasted blocks
     dominate, k=2 for pop-deep scenes where selection cost does."""
     em = jnp.where(e_ref[:] < thresh, e_ref[:], _INF)
-    col = jnp.min(em, axis=0, keepdims=True)     # (1, CHUNK)
+    col = jnp.min(em, axis=0, keepdims=True)     # (1, window width)
+    width = lane.shape[1]   # argmin sentinel MUST be >= every lane id:
+    #                         a narrower constant (CHUNK was hardcoded
+    #                         once) clobbers minima in later window
+    #                         segments and the never-consumed entry
+    #                         spins the pop loop forever
     sels = []
     for _ in range(k):
         mn = jnp.min(col)
-        sel = jnp.min(jnp.where(col == mn, lane, CHUNK))
+        sel = jnp.min(jnp.where(col == mn, lane, width))
         sels.append(jnp.where(mn < _BIG, sel, -1).astype(jnp.int32))
         if k > 1:
             col = jnp.where(lane == sels[-1], _INF, col)
@@ -542,21 +553,41 @@ def _pipelined_pops(k, select_fn, dma_fn, hit_fn):
                        (*f0, *f1, jnp.int32(0)))
 
 
-def _traverse(instanced, nec, npc, intersect_chunk,
+def _win_entry(wc_ref, sel):
+    """Window lane id -> global entry id: the window is the GC popped
+    chunks whose ids the outer loop wrote to the SMEM scratch `wc_ref`
+    (-1-padded); lane sel = j*CHUNK + e lies in chunk wc_ref[j].
+
+    TOTAL function by construction: callers guard their DMA/intersect
+    with @pl.when(sel >= 0), but the address feeding a predicated
+    region may still be computed, so sel and the chunk id are clamped
+    to stay in bounds under speculation."""
+    s = jnp.maximum(sel, 0)
+    return jnp.maximum(wc_ref[s // CHUNK], 0) * CHUNK + s % CHUNK
+
+
+def _traverse(instanced, nec, npc, gc, intersect_window,
               ent_inst_ref, inv_ref, ray_ref, aabb_ref, parent_ref,
-              epar_ref, e_ref, alive_t):
-    """Shared two-level ordered traversal.
+              epar_ref, e_ref, wc_ref, alive_t, pops_ref=None):
+    """Shared two-level ordered traversal with a GC-chunk drain window.
 
     alive_t() -> (R, 1) per-ray pruning threshold (closest: live
     best-t; anyhit: open shadow distance, 0 once occluded). A box is
     alive iff ANY ray's slab entry beats that ray's threshold; the
     masked minima are recomputed from the LIVE threshold every
-    iteration, so pruning tightens as hits land. Chunks, then entries
-    within a chunk, are popped nearest-first (the ordered-stack
-    t-pruning of BVH8Traversal.cuh:197-222 at tile granularity).
+    iteration, so pruning tightens as hits land. The outer loop pops
+    the GC nearest alive chunks TOGETHER and slab-ranks all their
+    entries into one (R, GC*CHUNK) window; the inner loop then drains
+    the window in global near-order. A 1-chunk window over-drains: all
+    of chunk A's alive entries were intersected before any of chunk
+    B's, even when B held nearer geometry, so best-t tightened late
+    (measured on the 1M-tri interior, bounce-1 rays: 359 pops/tile
+    single-chunk vs 205 ideal; the 4-chunk window recovers most of the
+    gap). This is the ordered-stack t-pruning of
+    BVH8Traversal.cuh:197-222 at tile granularity.
 
-    intersect_chunk(c) runs the inner entry loop for popped chunk c;
-    its per-ray entry distances have been written to e_ref."""
+    intersect_window(cs) drains the current window; per-ray entry
+    distances are in e_ref."""
     o = (ray_ref[:, 0:1], ray_ref[:, 1:2], ray_ref[:, 2:3])
     inv = tuple(_safe_inv(ray_ref[:, 3 + a:4 + a]) for a in range(3))
     valid = ray_ref[:, 6:7] > 0.0
@@ -573,28 +604,67 @@ def _traverse(instanced, nec, npc, intersect_chunk,
         thresh = alive_t()
         pm = jnp.where(epar_ref[:] < thresh, epar_ref[:], _INF)
         col = jnp.min(pm, axis=0, keepdims=True)     # (1, l1)
-        m = jnp.min(col)
-        found = m < _BIG
+        cs = []
+        for _ in range(gc):
+            m = jnp.min(col)
+            c = jnp.min(jnp.where(col == m, lane1, l1))
+            cs.append(jnp.where(m < _BIG, c, -1).astype(jnp.int32))
+            col = jnp.where(lane1 == cs[-1], _INF, col)
+        found = cs[0] >= 0
 
         @pl.when(found)
         def _():
-            c = jnp.min(jnp.where(col == m, lane1, l1)).astype(jnp.int32)
-            epar_ref[:] = jnp.where(lane1 == c, _INF, epar_ref[:])
-            lo = [aabb_ref[pl.ds(c, 1), a, :] for a in range(3)]
-            hi = [aabb_ref[pl.ds(c, 1), 3 + a, :] for a in range(3)]
-            e_ref[:] = _slab_row(lo, hi, o, inv, valid)
-            intersect_chunk(c)
+            if pops_ref is not None:        # perf diagnostics only
+                got = jnp.int32(0)
+                for c in cs:
+                    got += jnp.where(c >= 0, 1, 0)
+                pops_ref[0, 0] += got
+            mask = lane1 == cs[0]
+            for c in cs[1:]:
+                mask = mask | (lane1 == c)
+            epar_ref[:] = jnp.where(mask, _INF, epar_ref[:])
+            for k, c in enumerate(cs):
+                wc_ref[k] = c
+                seg = slice(k * CHUNK, (k + 1) * CHUNK)
+                # Unconditional slab (padded window slots re-slab chunk
+                # 0) + validity mask: a short window's tail segments
+                # become inert without branchy partial writes.
+                cc = jnp.maximum(c, 0)
+                lo = [aabb_ref[pl.ds(cc, 1), a, :] for a in range(3)]
+                hi = [aabb_ref[pl.ds(cc, 1), 3 + a, :] for a in range(3)]
+                e_ref[:, seg] = jnp.where(
+                    c >= 0, _slab_row(lo, hi, o, inv, valid), _INF)
+
+            intersect_window()
 
         return found
 
     jax.lax.while_loop(lambda go: go, outer_body, True)
 
 
-def _closest_kernel(instanced, nec, npc, flight,
+def _closest_kernel(instanced, nec, npc, flight, gc, stats,
                     ent_blk_ref, ent_inst_ref, inv_ref,       # SMEM
                     ray_ref, aabb_ref, parent_ref, tri_hbm,   # VMEM/ANY
-                    t_ref, slot_ref, inst_ref,                # outputs
-                    epar_ref, e_ref, buf, sem):               # scratch
+                    *rest):
+    if stats:
+        t_ref, slot_ref, inst_ref, pops_all = rest[:4]
+        epar_ref, e_ref, wc_ref, buf, sem = rest[4:]
+
+        _tile_i = pl.program_id(0)    # read once (while-body can't)
+
+        class _Pops:   # whole-array SMEM output; row = this grid step
+            def __setitem__(self, idx, v):
+                pops_all[_tile_i, idx[1]] = v
+
+            def __getitem__(self, idx):
+                return pops_all[_tile_i, idx[1]]
+        pops_ref = _Pops()
+        pops_ref[0, 0] = 0
+        pops_ref[0, 1] = 0
+    else:
+        t_ref, slot_ref, inst_ref = rest[:3]
+        epar_ref, e_ref, wc_ref, buf, sem = rest[3:]
+        pops_ref = None
     t_ref[:] = jnp.full(t_ref.shape, MISS_DISTANCE, jnp.float32)
     slot_ref[:] = jnp.full(slot_ref.shape, -1, jnp.int32)
     inst_ref[:] = jnp.zeros(inst_ref.shape, jnp.int32)
@@ -604,7 +674,7 @@ def _closest_kernel(instanced, nec, npc, flight,
     def _():
         ox, oy, oz = ray_ref[:, 0:1], ray_ref[:, 1:2], ray_ref[:, 2:3]
         dx, dy, dz = ray_ref[:, 3:4], ray_ref[:, 4:5], ray_ref[:, 5:6]
-        laneC = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+        laneW = jax.lax.broadcasted_iota(jnp.int32, (1, gc * CHUNK), 1)
         laneT = jax.lax.broadcasted_iota(jnp.int32,
                                          (t_ref.shape[0], CHUNK), 1)
 
@@ -615,6 +685,8 @@ def _closest_kernel(instanced, nec, npc, flight,
 
         def intersect(eid, sl):
             dma(eid, sl).wait()
+            if pops_ref is not None:
+                pops_ref[0, 1] += 1
             t_best = t_ref[:]
             tox, toy, toz, tdx, tdy, tdz, inst = _entry_rays(
                 instanced, inv_ref, ent_inst_ref, eid,
@@ -631,23 +703,23 @@ def _closest_kernel(instanced, nec, npc, flight,
             if instanced:
                 inst_ref[:] = jnp.where(better, inst, inst_ref[:])
 
-        def intersect_chunk(c):
+        def intersect_window():
             _pipelined_pops(
                 flight,
-                lambda: _select(e_ref, t_ref[:], laneC, flight),
-                lambda e, sl: dma(c * CHUNK + e, sl),
-                lambda e, sl: intersect(c * CHUNK + e, sl))
+                lambda: _select(e_ref, t_ref[:], laneW, flight),
+                lambda e, sl: dma(_win_entry(wc_ref, e), sl),
+                lambda e, sl: intersect(_win_entry(wc_ref, e), sl))
 
-        _traverse(instanced, nec, npc, intersect_chunk,
+        _traverse(instanced, nec, npc, gc, intersect_window,
                   ent_inst_ref, inv_ref, ray_ref, aabb_ref, parent_ref,
-                  epar_ref, e_ref, lambda: t_ref[:])
+                  epar_ref, e_ref, wc_ref, lambda: t_ref[:], pops_ref)
 
 
-def _anyhit_kernel(instanced, nec, npc, flight,
+def _anyhit_kernel(instanced, nec, npc, flight, gc,
                    ent_blk_ref, ent_inst_ref, inv_ref,
                    ray_ref, aabb_ref, parent_ref, tri_hbm,
                    hit_ref,
-                   epar_ref, e_ref, buf, sem):
+                   epar_ref, e_ref, wc_ref, buf, sem):
     hit_ref[:] = jnp.zeros(hit_ref.shape, bool)
     valid = ray_ref[:, 6:7] > 0.0
     tmax = ray_ref[:, 7:8]
@@ -656,7 +728,7 @@ def _anyhit_kernel(instanced, nec, npc, flight,
     def _():
         ox, oy, oz = ray_ref[:, 0:1], ray_ref[:, 1:2], ray_ref[:, 2:3]
         dx, dy, dz = ray_ref[:, 3:4], ray_ref[:, 4:5], ray_ref[:, 5:6]
-        laneC = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+        laneW = jax.lax.broadcasted_iota(jnp.int32, (1, gc * CHUNK), 1)
 
         def cap():
             # Open shadow distance; 0 once a ray is occluded, so a
@@ -679,16 +751,16 @@ def _anyhit_kernel(instanced, nec, npc, flight,
             hit_ref[:] = hit_ref[:] | jnp.any(
                 t < cp, axis=1, keepdims=True)
 
-        def intersect_chunk(c):
+        def intersect_window():
             _pipelined_pops(
                 flight,
-                lambda: _select(e_ref, cap(), laneC, flight),
-                lambda e, sl: dma(c * CHUNK + e, sl),
-                lambda e, sl: intersect(c * CHUNK + e, sl))
+                lambda: _select(e_ref, cap(), laneW, flight),
+                lambda e, sl: dma(_win_entry(wc_ref, e), sl),
+                lambda e, sl: intersect(_win_entry(wc_ref, e), sl))
 
-        _traverse(instanced, nec, npc, intersect_chunk,
+        _traverse(instanced, nec, npc, gc, intersect_window,
                   ent_inst_ref, inv_ref, ray_ref, aabb_ref, parent_ref,
-                  epar_ref, e_ref, cap)
+                  epar_ref, e_ref, wc_ref, cap)
 
 
 # --------------------------------------------------------------------------
@@ -718,7 +790,10 @@ def _flight_for(n_entries: int) -> int:
     return 1 if n_entries <= CHUNK else 2
 
 
-def _common_specs(nec, npc, tile_r, flight):
+GC_MAX = 4         # chunks per drain window (see _traverse)
+
+
+def _common_specs(nec, npc, tile_r, flight, gc):
     smem = [pl.BlockSpec(memory_space=pltpu.SMEM) for _ in range(3)]
     in_specs = smem + [
         pl.BlockSpec((tile_r, 8), lambda i: (i, 0),
@@ -728,7 +803,8 @@ def _common_specs(nec, npc, tile_r, flight):
         pl.BlockSpec(memory_space=pl.ANY),
     ]
     scratch = [pltpu.VMEM((tile_r, npc * CHUNK), jnp.float32),
-               pltpu.VMEM((tile_r, CHUNK), jnp.float32),
+               pltpu.VMEM((tile_r, gc * CHUNK), jnp.float32),
+               pltpu.SMEM((gc,), jnp.int32),
                pltpu.VMEM((2 * flight, 9, CHUNK), jnp.float32),
                pltpu.SemaphoreType.DMA((2 * flight,))]
     return in_specs, scratch
@@ -747,12 +823,13 @@ def closest_hit_scene(bs: BlockedScene, ray_o, ray_d, interpret=False,
                       jnp.full((r,), MISS_DISTANCE, jnp.float32), rp)
     nec, npc = bs.aabb.shape[0], bs.parent.shape[0]
     flight = flight or _flight_for(bs.n_entries)
-    in_specs, scratch = _common_specs(nec, npc, tile_r, flight)
+    gc = min(GC_MAX, nec)
+    in_specs, scratch = _common_specs(nec, npc, tile_r, flight, gc)
     col = pl.BlockSpec((tile_r, 1), lambda i: (i, 0),
                        memory_space=pltpu.VMEM)
     t, slot, inst = pl.pallas_call(
         functools.partial(_closest_kernel, bs.instanced, nec, npc,
-                          flight),
+                          flight, gc, False),
         grid=(rp // tile_r,),
         in_specs=in_specs,
         out_specs=(col, col, col),
@@ -768,6 +845,43 @@ def closest_hit_scene(bs: BlockedScene, ray_o, ray_d, interpret=False,
 
 @functools.partial(jax.jit,
                    static_argnames=("interpret", "tile_r", "flight"))
+def closest_hit_stats(bs: BlockedScene, ray_o, ray_d, interpret=False,
+                      tile_r=TILE_R, flight=None):
+    """closest_hit_scene + per-tile pop counters (perf diagnostics):
+    returns (t, slot, inst, pops) with pops (n_tiles, 2) int32 =
+    [chunk pops, entry intersections] per ray tile. Used by
+    benchmarks/ to validate the kernel cost model on real workloads."""
+    r = ray_o.shape[0]
+    rp = max((r + tile_r - 1) // tile_r, 1) * tile_r
+    rays = _pack_rays(ray_o, ray_d,
+                      jnp.full((r,), MISS_DISTANCE, jnp.float32), rp)
+    nec, npc = bs.aabb.shape[0], bs.parent.shape[0]
+    flight = flight or _flight_for(bs.n_entries)
+    gc = min(GC_MAX, nec)
+    in_specs, scratch = _common_specs(nec, npc, tile_r, flight, gc)
+    col = pl.BlockSpec((tile_r, 1), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM)
+    t, slot, inst, pops = pl.pallas_call(
+        functools.partial(_closest_kernel, bs.instanced, nec, npc,
+                          flight, gc, True),
+        grid=(rp // tile_r,),
+        in_specs=in_specs,
+        out_specs=(col, col, col,
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+        out_shape=(jax.ShapeDtypeStruct((rp, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((rp, 1), jnp.int32),
+                   jax.ShapeDtypeStruct((rp, 1), jnp.int32),
+                   jax.ShapeDtypeStruct((rp // tile_r, 2), jnp.int32)),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(bs.ent_block, bs.ent_inst, bs.inst_inv, rays, bs.aabb, bs.parent,
+      bs.tri)
+    return (t.reshape(rp)[:r], slot.reshape(rp)[:r],
+            inst.reshape(rp)[:r], pops)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "tile_r", "flight"))
 def any_hit_scene(bs: BlockedScene, ray_o, ray_d, t_max, interpret=False,
                   tile_r=TILE_R, flight=None):
     """Occlusion test (True = some hit with t < t_max)."""
@@ -777,10 +891,11 @@ def any_hit_scene(bs: BlockedScene, ray_o, ray_d, t_max, interpret=False,
     rays = _pack_rays(ray_o, ray_d, tm, rp)
     nec, npc = bs.aabb.shape[0], bs.parent.shape[0]
     flight = flight or _flight_for(bs.n_entries)
-    in_specs, scratch = _common_specs(nec, npc, tile_r, flight)
+    gc = min(GC_MAX, nec)
+    in_specs, scratch = _common_specs(nec, npc, tile_r, flight, gc)
     hit = pl.pallas_call(
         functools.partial(_anyhit_kernel, bs.instanced, nec, npc,
-                          flight),
+                          flight, gc),
         grid=(rp // tile_r,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((tile_r, 1), lambda i: (i, 0),
