@@ -39,12 +39,17 @@ at two hierarchy levels, each a single vectorized VPU pass:
 
 Memory layout (host-built by `build_blocked_flat` / `build_blocked_tlas`):
 
-  tri    (NBG, 9, 128) f32  HBM   one 128-triangle block per row,
+  tri    (NBG, 10, 128) f32 HBM   one 128-triangle block per row,
                                   Morton order per BLAS; rows are
-                                  ax,ay,az,bx,by,bz,cx,cy,cz. Blocks
-                                  are SHARED between instances of one
-                                  BLAS — the instancing memory win
-                                  survives.
+                                  ax,ay,az,bx,by,bz,cx,cy,cz plus the
+                                  GLOBAL triangle id as an exact f32
+                                  (ids < 2^24) — the winning lane's id
+                                  is extracted in-kernel, so hits need
+                                  no host-side to_global gather (that
+                                  gather was the single largest
+                                  backward-pass op). Blocks are SHARED
+                                  between instances of one BLAS — the
+                                  instancing memory win survives.
   aabb   (NEC, 8, 128) f32  VMEM  WORLD-space AABBs of the (block,
                                   instance) entries, 128 per chunk, rows
                                   bmin.xyz / bmax.xyz / pad. ~32 B per
@@ -119,7 +124,8 @@ _BIG = 1.0e37
 @flax.struct.dataclass
 class BlockedScene:
     """Blocked triangle layout + (block, instance) entry table."""
-    tri: jnp.ndarray        # (NBG, 9, 128) f32, HBM-resident
+    tri: jnp.ndarray        # (NBG, 10, 128) f32, HBM-resident (9 vert
+    #                         rows + exact-f32 global tri id row)
     aabb: jnp.ndarray       # (NEC, 8, 128) f32 world entry AABBs
     parent: jnp.ndarray     # (NPC, 8, 128) f32 chunk-level AABBs
     ent_block: jnp.ndarray  # (NEC*128,) int32 entry -> block id
@@ -229,9 +235,12 @@ def _block_tris(v0, v1, v2, plo, phi, gids):
     b1 = np.concatenate([vo[1], fill]).reshape(nb, CHUNK, 3)
     b2 = np.concatenate([vo[2], fill]).reshape(nb, CHUNK, 3)
     to_global = np.concatenate([gids, np.full(pad, gids[-1], np.int32)])
+    assert int(gids.max(initial=0)) < (1 << 24), \
+        "global tri ids must be exactly representable in f32"
+    idrow = to_global.astype(np.float32).reshape(nb, CHUNK)
     tri = np.stack([b0[..., 0], b0[..., 1], b0[..., 2],
                     b1[..., 0], b1[..., 1], b1[..., 2],
-                    b2[..., 0], b2[..., 1], b2[..., 2]], axis=1)
+                    b2[..., 0], b2[..., 1], b2[..., 2], idrow], axis=1)
     # Padding pieces are points — they never widen the union.
     pfill = np.repeat(np.asarray(plo, np.float32)[-1:], pad, axis=0)
     lo = np.concatenate([np.asarray(plo, np.float32),
@@ -675,8 +684,6 @@ def _closest_kernel(instanced, nec, npc, flight, gc, stats,
         ox, oy, oz = ray_ref[:, 0:1], ray_ref[:, 1:2], ray_ref[:, 2:3]
         dx, dy, dz = ray_ref[:, 3:4], ray_ref[:, 4:5], ray_ref[:, 5:6]
         laneW = jax.lax.broadcasted_iota(jnp.int32, (1, gc * CHUNK), 1)
-        laneT = jax.lax.broadcasted_iota(jnp.int32,
-                                         (t_ref.shape[0], CHUNK), 1)
 
         def dma(e, sl):
             b = ent_blk_ref[e]
@@ -694,12 +701,17 @@ def _closest_kernel(instanced, nec, npc, flight, gc, stats,
             t = _mt_block(buf, sl, tox, toy, toz,
                           tdx, tdy, tdz, t_best)
             t_min = jnp.min(t, axis=1, keepdims=True)
-            kk = jnp.min(jnp.where(t == t_min, laneT, CHUNK),
-                         axis=1, keepdims=True)
             better = t_min < t_best
-            b = ent_blk_ref[eid]
+            # Winning lane's GLOBAL triangle id from the block's id row
+            # (exact-f32): a masked one-lane reduce replaces the
+            # host-side to_global gather (which dominated the backward
+            # program: 1.9 ms per bounce as a serial 65k-index gather).
+            win = t == t_min
+            gid = jnp.max(jnp.where(win, buf[sl, 9:10, :], -1.0),
+                          axis=1, keepdims=True)
             t_ref[:] = jnp.where(better, t_min, t_best)
-            slot_ref[:] = jnp.where(better, b * CHUNK + kk, slot_ref[:])
+            slot_ref[:] = jnp.where(better, gid.astype(jnp.int32),
+                                    slot_ref[:])
             if instanced:
                 inst_ref[:] = jnp.where(better, inst, inst_ref[:])
 
@@ -805,7 +817,7 @@ def _common_specs(nec, npc, tile_r, flight, gc):
     scratch = [pltpu.VMEM((tile_r, npc * CHUNK), jnp.float32),
                pltpu.VMEM((tile_r, gc * CHUNK), jnp.float32),
                pltpu.SMEM((gc,), jnp.int32),
-               pltpu.VMEM((2 * flight, 9, CHUNK), jnp.float32),
+               pltpu.VMEM((2 * flight, 10, CHUNK), jnp.float32),
                pltpu.SemaphoreType.DMA((2 * flight,))]
     return in_specs, scratch
 
@@ -814,9 +826,9 @@ def _common_specs(nec, npc, tile_r, flight, gc):
                    static_argnames=("interpret", "tile_r", "flight"))
 def closest_hit_scene(bs: BlockedScene, ray_o, ray_d, interpret=False,
                       tile_r=TILE_R, flight=None):
-    """Closest hit. Returns (t, slot, inst): slot = block*128 + lane
-    (-1 on miss; map through bs.to_global for the global triangle id),
-    inst = instance id (0 for flat scenes)."""
+    """Closest hit. Returns (t, tri, inst): tri = GLOBAL triangle id
+    (-1 on miss; extracted in-kernel from the block id row), inst =
+    instance id (0 for flat scenes)."""
     r = ray_o.shape[0]
     rp = max((r + tile_r - 1) // tile_r, 1) * tile_r
     rays = _pack_rays(ray_o, ray_d,

@@ -109,11 +109,11 @@ def _next_event_estimation(scene: SceneData, settings: RenderSettings,
                    if scene.is_instanced else jnp.zeros_like(light_id))
 
     uv = uniform_triangle(u4[..., 2], u4[..., 3])
-    lv0, lv1, lv2 = view.tri_world_verts(scene, tri_id, light_owner)
+    lat = view.fetch_attr(scene, tri_id, light_owner)  # 1 gather
+    lv0, lv1, lv2 = lat.v0, lat.v1, lat.v2
     p_light = barycentric(lv0, lv1, lv2, uv)
     light_gn = normalize(tri_mod.geometric_normal(lv0, lv1, lv2))
-    ln0, ln1, ln2 = view.tri_world_normals(scene, tri_id, light_owner)
-    light_n = normalize(barycentric(ln0, ln1, ln2, uv))
+    light_n = normalize(barycentric(lat.n0, lat.n1, lat.n2, uv))
 
     # Offset both endpoints along their geometric normals
     # (PathTracer.cu:251-259).
@@ -137,11 +137,9 @@ def _next_event_estimation(scene: SceneData, settings: RenderSettings,
         mat, wi_local, wo_local, settings.strict_fresnel_parity)
     weight = power_heuristic(light_pdf, bsdf_pdf)
 
-    light_mat = scene.materials.take(
-        view.material_id(scene, tri_id, light_owner))
+    light_mat = scene.materials.take(lat.mat_id)
     # Emissive texture at the sampled light point (PathTracer.cu:295-301).
-    light_uv = barycentric(scene.uv0[tri_id], scene.uv1[tri_id],
-                           scene.uv2[tri_id], uv)
+    light_uv = barycentric(lat.uv0, lat.uv1, lat.uv2, uv)
     emis_tex = textures.sample(scene.textures, light_mat.emissive_map,
                                light_uv)
     emission = jnp.where((light_mat.emissive_map >= 0)[..., None],
@@ -206,16 +204,15 @@ def _bounce(scene: SceneData, settings: RenderSettings, ps: _PathState,
     # geometry derives from them.
     uv = jnp.where(hit[..., None],
                    jnp.stack([isect.u, isect.v], axis=-1), 0.0)
-    v0, v1, v2 = view.tri_world_verts(scene, tri_id, inst_id)
+    attr = view.fetch_attr(scene, tri_id, inst_id)  # ONE combined gather
+    v0, v1, v2 = attr.v0, attr.v1, attr.v2
     hit_p = barycentric(v0, v1, v2, uv)
-    hn0, hn1, hn2 = view.tri_world_normals(scene, tri_id, inst_id)
-    normal = normalize(barycentric(hn0, hn1, hn2, uv))
+    normal = normalize(barycentric(attr.n0, attr.n1, attr.n2, uv))
     g_normal = normalize(tri_mod.geometric_normal(v0, v1, v2))
-    mat = scene.materials.take(view.material_id(scene, tri_id, inst_id))
+    mat = scene.materials.take(attr.mat_id)
 
     # --- Texture fetches (PathTracer.cu:347-351, 400-405) --------------
-    tex_uv = barycentric(scene.uv0[tri_id], scene.uv1[tri_id],
-                         scene.uv2[tri_id], uv)
+    tex_uv = barycentric(attr.uv0, attr.uv1, attr.uv2, uv)
     diffuse_tex = textures.sample(scene.textures, mat.diffuse_map, tex_uv)
     has_dmap = mat.diffuse_map >= 0
     # The reference REPLACES albedo with the texture color (cu:404).
@@ -232,7 +229,7 @@ def _bounce(scene: SceneData, settings: RenderSettings, ps: _PathState,
     cos_o = jnp.abs(dot(normal, ps.ray_d))
     d_sq = dot(hit_p - ps.mis_origin, hit_p - ps.mis_origin)
     hit_light_pdf = _light_pdf_area(
-        scene, v0, v1, v2, view.hit_inst_ntris(scene, tri_id, inst_id)) \
+        scene, v0, v1, v2, attr.inst_ntris) \
         * d_sq / jnp.maximum(cos_o, 1.0e-8)
     mis_w = jnp.where(is_pdf_valid(hit_light_pdf),
                       power_heuristic(ps.last_pdf, hit_light_pdf), 0.0)

@@ -62,6 +62,15 @@ class SceneData:
     #                          gather serves both lookups per bounce (an
     #                          XLA gather costs per-index regardless of
     #                          width; two tables = two serial passes)
+    tri_attr: jnp.ndarray    # (N, 26) f32 combined shading attributes:
+    #                          v0,v1,v2 (9; world for flat / object for
+    #                          instanced), n0,n1,n2 (9), uv0,uv1,uv2
+    #                          (6), mat, inst (2, exact f32). ONE gather
+    #                          per hit set serves all of shading — the
+    #                          per-component gathers fused in the fwd
+    #                          program but became ~14 separate 0.4 ms
+    #                          serial gathers per bounce under jvp
+    #                          (view.fetch_attr; docs/perf.md)
     inst_ntris: jnp.ndarray  # (I,) int32 triangles per instance (MIS pdf)
     materials: Materials
     # Mesh lights (flattened): light l owns light_tris[start[l]:start[l]+ntris[l]]
@@ -121,6 +130,18 @@ def _per_tri_attrs(vertices, faces, normals, uvs):
         uvs = np.asarray(uvs, np.float32)
         uv0, uv1, uv2 = (uvs[faces[:, k]] for k in range(3))
     return v0, v1, v2, n0, n1, n2, uv0, uv1, uv2
+
+
+def _pack_tri_attr(v0, v1, v2, n0, n1, n2, uv0, uv1, uv2, mat, inst):
+    """One (N, 26) f32 row per triangle (SceneData.tri_attr layout)."""
+    mat = np.asarray(mat, np.int64)
+    inst = np.asarray(inst, np.int64)
+    assert mat.max(initial=0) < (1 << 24) and inst.max(initial=0) < (1 << 24)
+    return jnp.asarray(np.concatenate(
+        [np.asarray(a, np.float32) for a in
+         (v0, v1, v2, n0, n1, n2, uv0, uv1, uv2)]
+        + [mat[:, None].astype(np.float32),
+           inst[:, None].astype(np.float32)], axis=1))
 
 
 @dataclasses.dataclass
@@ -322,6 +343,17 @@ class SceneBuilder:
             tri_mat=jnp.zeros(n_tris, jnp.int32),  # per-instance binding
             tri_inst=jnp.zeros(n_tris, jnp.int32),  # from Intersection
             tri_meta=jnp.zeros((n_tris, 2), jnp.int32),
+            tri_attr=_pack_tri_attr(
+                np.concatenate([a["v0"] for a in self._assets]),
+                np.concatenate([a["v1"] for a in self._assets]),
+                np.concatenate([a["v2"] for a in self._assets]),
+                np.concatenate([a["n0"] for a in self._assets]),
+                np.concatenate([a["n1"] for a in self._assets]),
+                np.concatenate([a["n2"] for a in self._assets]),
+                np.concatenate([a["uv0"] for a in self._assets]),
+                np.concatenate([a["uv1"] for a in self._assets]),
+                np.concatenate([a["uv2"] for a in self._assets]),
+                np.zeros(n_tris, np.int32), np.zeros(n_tris, np.int32)),
             inst_ntris=tl.inst_ntris,
             materials=materials,
             light_start=jnp.asarray(starts, jnp.int32),
@@ -411,6 +443,12 @@ class SceneBuilder:
             tri_meta=jnp.stack([jnp.asarray(tri_mat, jnp.int32),
                                 jnp.asarray(tri_inst, jnp.int32)],
                                axis=-1),
+            tri_attr=_pack_tri_attr(
+                v0, v1, v2,
+                np.concatenate(self._n0), np.concatenate(self._n1),
+                np.concatenate(self._n2),
+                np.concatenate(self._uv0), np.concatenate(self._uv1),
+                np.concatenate(self._uv2), tri_mat, tri_inst),
             inst_ntris=jnp.asarray(
                 [i.tri_count for i in self.instances], jnp.int32),
             materials=materials,

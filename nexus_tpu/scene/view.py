@@ -16,6 +16,7 @@ traces exactly one path — no runtime branching.
 
 from __future__ import annotations
 
+import flax.struct
 import jax
 import jax.numpy as jnp
 
@@ -71,16 +72,18 @@ def _pallas_closest(scene, ray_o, ray_d, interpret=False) -> Intersection:
     from nexus_tpu.kernels import trace_hbm as ktrace
 
     bt_s, o_s, d_s = jax.lax.stop_gradient((scene.blocked, ray_o, ray_d))
-    t, slot, inst = ktrace.closest_hit_scene(bt_s, o_s, d_s,
-                                             interpret=interpret)
-    miss = slot < 0
-    tri = scene.blocked.to_global[jnp.maximum(slot, 0)]
+    t, tri, inst = ktrace.closest_hit_scene(bt_s, o_s, d_s,
+                                            interpret=interpret)
+    miss = tri < 0
+    tri = jnp.maximum(tri, 0)   # global id comes straight from the
+    #                             kernel's block id row — no gather
     inst = jnp.maximum(inst, 0)
     # Differentiable refinement against the found WORLD-space triangle
     # (the same contract as accel/traverse2.closest_hit; instanced verts
     # go through inst_m, keeping transform gradients alive in shading).
-    w0, w1, w2 = tri_world_verts(scene, tri, inst)
-    th, u, v = tri_mod.refine(ray_o, ray_d, w0, w1, w2)
+    # fetch_attr's combined gather CSEs with the bounce's own fetch.
+    attr = fetch_attr(scene, tri, inst)
+    th, u, v = tri_mod.refine(ray_o, ray_d, attr.v0, attr.v1, attr.v2)
     return Intersection(t=jnp.where(miss, MISS_DISTANCE, th), u=u, v=v,
                         tri_idx=tri, inst_idx=inst)
 
@@ -103,6 +106,54 @@ def any_hit(scene, ray_o, ray_d, t_max) -> jnp.ndarray:
     if scene.is_instanced:
         return traverse_tlas.any_hit(scene.tlas, ray_o, ray_d, t_max)
     return traverse2.any_hit(scene.bvh, ray_o, ray_d, t_max)
+
+
+@flax.struct.dataclass
+class TriAttr:
+    """World-space shading attributes of a hit set, fetched with ONE
+    gather from SceneData.tri_attr (v0..uv2+meta in one (N, 26) row).
+    Per-component tables (scene.n0, scene.uv0, ...) remain for the CPU
+    paths, but the integrator uses this: under jvp/vjp tracing XLA kept
+    the per-component gathers as ~14 separate serial 65k-index passes
+    per bounce (~5.6 ms) where the fwd-only program fused them; one
+    wide gather is one pass in both programs."""
+    v0: jnp.ndarray   # (R, 3) world-space vertices
+    v1: jnp.ndarray
+    v2: jnp.ndarray
+    n0: jnp.ndarray   # (R, 3) world vertex normals (UNNORMALIZED)
+    n1: jnp.ndarray
+    n2: jnp.ndarray
+    uv0: jnp.ndarray  # (R, 2)
+    uv1: jnp.ndarray
+    uv2: jnp.ndarray
+    mat_id: jnp.ndarray      # (R,) int32 material binding
+    inst_ntris: jnp.ndarray  # (R,) int32 owning mesh triangle count
+
+
+def fetch_attr(scene, tri_id, inst_id) -> TriAttr:
+    """All shading attributes for global triangles `tri_id` under
+    instances `inst_id`, via one combined gather (+ the instanced
+    transform of PathTracer.cu:328-346 where applicable)."""
+    a = scene.tri_attr[tri_id]                       # (R, 26): 1 gather
+    v0, v1, v2 = a[..., 0:3], a[..., 3:6], a[..., 6:9]
+    n0, n1, n2 = a[..., 9:12], a[..., 12:15], a[..., 15:18]
+    uv0, uv1, uv2 = a[..., 18:20], a[..., 20:22], a[..., 22:24]
+    if scene.is_instanced:
+        t = scene.tlas
+        m = take_small(t.inst_m, inst_id)
+        v0, v1, v2 = (_xform_point(m, v0), _xform_point(m, v1),
+                      _xform_point(m, v2))
+        nm = take_small(t.inst_nrm, inst_id)         # (..., 3, 3)
+        xf = lambda n: jnp.einsum("...ij,...j->...i", nm, n)
+        n0, n1, n2 = xf(n0), xf(n1), xf(n2)
+        mat_id = take_small(t.inst_mat, inst_id)
+        ntris = take_small(t.inst_ntris, inst_id)
+    else:
+        mat_id = a[..., 24].astype(jnp.int32)
+        ntris = take_small(scene.inst_ntris, a[..., 25].astype(jnp.int32))
+    return TriAttr(v0=v0, v1=v1, v2=v2, n0=n0, n1=n1, n2=n2,
+                   uv0=uv0, uv1=uv1, uv2=uv2, mat_id=mat_id,
+                   inst_ntris=ntris)
 
 
 def tri_world_verts(scene, tri_id, inst_id):

@@ -1,6 +1,6 @@
 """HBM-resident trace kernel (kernels/trace_hbm.py) vs reference
 traversals, interpret mode. Covers flat + instanced scenes, closest +
-any hit, dead-lane padding, and the to_global slot mapping."""
+any hit, dead-lane padding, and the in-kernel global-id extraction."""
 
 import numpy as np
 import jax.numpy as jnp
@@ -67,7 +67,7 @@ def test_flat_closest_matches_bvh2(flat):
     assert ((slot < 0) == ~hit).all()
     np.testing.assert_allclose(np.asarray(t)[hit], ref_t[hit],
                                rtol=1e-4, atol=1e-5)
-    tri = np.asarray(bs.to_global)[np.maximum(slot, 0)]
+    tri = np.maximum(slot, 0)   # kernel returns global tri ids
     assert (tri[hit] == np.asarray(ref.tri_idx)[hit]).all()
     assert (np.asarray(inst) == 0).all()
 
@@ -94,7 +94,7 @@ def test_instanced_closest_matches_tlas(instanced):
     assert ((slot < 0) == ~hit).all()
     np.testing.assert_allclose(np.asarray(t)[hit], ref_t[hit],
                                rtol=1e-4, atol=1e-4)
-    tri = np.asarray(bs.to_global)[np.maximum(slot, 0)]
+    tri = np.maximum(slot, 0)   # kernel returns global tri ids
     assert (tri[hit] == np.asarray(ref.tri_idx)[hit]).all()
     assert (np.asarray(inst)[hit] == np.asarray(ref.inst_idx)[hit]).all()
 

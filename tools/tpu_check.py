@@ -127,8 +127,8 @@ def main():
     bt, btri = brute_force(o[sub], d[sub], fv0, fv1, fv2)
 
     t_k = np.asarray(t_d)[sub]
-    slot_k = np.asarray(slot_d)[sub]
-    tri_k = np.asarray(scene.blocked.to_global)[np.maximum(slot_k, 0)]
+    slot_k = np.asarray(slot_d)[sub]   # global tri id straight from kernel
+    tri_k = np.maximum(slot_k, 0)
     hit = bt < 1e29
     c1 = {
         "rays": int(sub.size),
