@@ -92,19 +92,22 @@ def render_sharded(scene: SceneData, settings: RenderSettings,
 def train_step(scene: SceneData, settings: RenderSettings,
                pixel_idx: jnp.ndarray, target: jnp.ndarray,
                sample_idx, lr: float = 0.05):
-    """One inverse-rendering step: L2 image loss → grads on materials.
+    """One stateless inverse-rendering step (SGD on materials).
 
-    This is the "full training step" of the differentiable renderer: a
-    sharded forward render, a backward pass through trace+shade, and an
-    SGD update on the (replicated) material parameters — jax.grad inserts
-    the cross-chip psum of parameter grads (data-parallel reduction).
+    Kept as the minimal jittable example of the data-parallel pattern
+    (sharded forward render, backward through trace+shade, jax.grad's
+    cross-chip psum on replicated parameter grads). The PRODUCT
+    optimizer — Adam with state, parameter-group selection,
+    checkpoint/resume, correlated sampling — lives in
+    nexus_tpu.diff.optim (fit/make_step) and runs over a mesh via the
+    same shardings (optim.fit(mesh=...)).
     """
+    from nexus_tpu.diff import optim
 
     def loss_fn(materials):
         s = scene.replace(materials=materials)
-        img = megakernel.render_pixels(s, settings, pixel_idx,
-                                       jnp.uint32(sample_idx))
-        return jnp.mean((jnp.clip(img, 0.0, 10.0) - target) ** 2)
+        return optim.image_loss(s, settings, pixel_idx, target,
+                                jnp.asarray(sample_idx, jnp.uint32))
 
     # allow_int: the Materials pytree carries int32 tags (mtype, texture
     # ids) alongside the float parameters; their "grads" are float0 and
