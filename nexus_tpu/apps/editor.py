@@ -1,26 +1,40 @@
-"""Interactive scene editor: live progressive render + hierarchy panel.
+"""Interactive scene editor: live progressive render + edit panels.
 
 The TPU-native analog of the reference's interactive edit loop —
-SceneHierarchyPanel (instance tree, TRS + material editors,
-Nexus/src/Renderer/Panels/SceneHierarchyPanel.cpp:20-212) driving
-Scene invalidation and accumulation restart
+SceneHierarchyPanel (instance tree, full TRS + per-material property
+editors, Nexus/src/Renderer/Panels/SceneHierarchyPanel.cpp:117-212) and
+MetricsPanel (camera + render-settings editors, MetricsPanel.cpp:62-85)
+driving Scene invalidation and accumulation restart
 (Nexus/src/Renderer/Renderer.cpp:41-77, Scene.cpp:29-55) — re-expressed
 as a browser panel over a headless render loop:
 
   - a render thread accumulates samples progressively (AccumulateKernel
     running-mean semantics) and serves the live image;
-  - the panel lists every instance (name, translate/scale, material)
-    with editable fields; an edit POST applies the FUNCTIONAL refit
-    (scene/edit.py set_transform / set_material — no rebuild, no
-    recompile) and resets accumulation, exactly the reference's
-    invalidate -> update -> ResetFrameNumber cycle.
+  - the HIERARCHY panel lists every instance with translate, EULER
+    ROTATION (XYZ degrees), uniform scale and material binding; an edit
+    applies the FUNCTIONAL refit (scene/edit.py set_transform /
+    set_material — no rebuild, no recompile) and resets accumulation,
+    exactly the reference's invalidate -> update -> ResetFrameNumber
+    cycle;
+  - the MATERIALS panel edits albedo / roughness / ior / emission /
+    intensity / opacity per material live (edit.set_material_params —
+    shape-stable, next sample traces the new values; flipping a
+    material emissive rebuilds the light tables and recompiles, as
+    documented there);
+  - the CAMERA panel edits position / look-at / horizontal FOV — the
+    camera is a traced pytree, so moves re-trace nothing and recompile
+    nothing (closing the reference's fly-camera gap, Camera.cpp:37-100,
+    as editable fields);
+  - RENDER SETTINGS edits path length and the MIS toggle (static jit
+    arguments — applying them recompiles once, which the panel warns
+    about) plus background intensity (traced, free).
 
 Usage:
   python -m nexus_tpu.apps.editor model.glb --port 8008 [--res 256]
   # open http://localhost:8008  (any port-forward works)
 
-Works for instanced scenes (build_instanced); transforms edits need
-instances by construction. Materials can be re-bound on any scene.
+Transform edits need instanced scenes (build_instanced); material,
+camera and settings edits work on any scene.
 """
 
 from __future__ import annotations
@@ -35,55 +49,115 @@ from urllib.parse import parse_qs, urlparse
 
 import numpy as np
 
+MTYPE_NAMES = {0: "diffuse", 1: "dielectric", 2: "plastic", 3: "conductor"}
+
 PAGE = """<!doctype html><html><head><title>nexus_tpu editor</title>
 <style>
  body{background:#14151a;color:#c9cdd6;font-family:monospace;margin:0;
       display:flex;height:100vh}
  #left{flex:1;display:flex;align-items:center;justify-content:center}
- img{image-rendering:pixelated;max-width:60vw;max-height:92vh}
- #panel{width:430px;overflow-y:auto;background:#1b1d24;padding:12px;
+ img{image-rendering:pixelated;max-width:58vw;max-height:92vh}
+ #panel{width:470px;overflow-y:auto;background:#1b1d24;padding:12px;
         border-left:1px solid #333}
- h3{margin:4px 0 10px;color:#8ab4ff} .inst{border:1px solid #333;
+ h3{margin:10px 0 6px;color:#8ab4ff} .inst,.mat,.cam{border:1px solid #333;
    border-radius:6px;padding:8px;margin-bottom:8px}
  input,select{background:#0f1014;color:#c9cdd6;border:1px solid #444;
-   width:52px;margin:1px} select{width:150px}
+   width:46px;margin:1px} select{width:150px}
  button{background:#2b3a55;color:#dde;border:none;border-radius:4px;
    padding:3px 10px;margin-top:4px;cursor:pointer}
- #status{color:#7a8;margin-bottom:8px}
+ #status{color:#7a8;margin-bottom:8px} .warn{color:#ca5}
+ label{color:#789}
 </style></head><body>
 <div id=left><img id=im src="/image?t=0"></div>
-<div id=panel><h3>scene hierarchy</h3><div id=status></div>
-<div id=list></div></div>
+<div id=panel><div id=status></div>
+<h3>camera</h3><div class=cam id=cam></div>
+<h3>render settings</h3><div class=cam id=rset></div>
+<h3>materials</h3><div id=mats></div>
+<h3>scene hierarchy</h3><div id=list></div></div>
 <script>
+let built = false;
+function num(id){return parseFloat(document.getElementById(id).value)}
 async function refresh(){
   const s = await (await fetch('/state')).json();
   document.getElementById('status').textContent =
     s.samples + ' spp · ' + s.ms_per_sample.toFixed(0) + ' ms/sample';
+  if (built) return;
+  built = true;
+  const cam = document.getElementById('cam');
+  cam.innerHTML = `pos <input id=cpx value=${s.camera.pos[0]}>
+    <input id=cpy value=${s.camera.pos[1]}>
+    <input id=cpz value=${s.camera.pos[2]}><br>
+    look <input id=clx value=${s.camera.look[0]}>
+    <input id=cly value=${s.camera.look[1]}>
+    <input id=clz value=${s.camera.look[2]}>
+    fov <input id=cfov value=${s.camera.fov}>
+    <button onclick=applyCam()>apply</button>
+    <span class=warn>(traced: no recompile)</span>`;
+  const rs = document.getElementById('rset');
+  rs.innerHTML = `bounces <input id=rb value=${s.settings.bounces}>
+    MIS <input type=checkbox id=rmis ${s.settings.mis?'checked':''}
+         style="width:auto">
+    bg <input id=rbg value=${s.settings.bg}>
+    <button onclick=applySettings()>apply</button>
+    <span class=warn>(bounces/MIS recompile once)</span>`;
+  const mats = document.getElementById('mats');
+  for (const m of s.material_props) {
+    const d = document.createElement('div'); d.className='mat';
+    d.innerHTML = `<b>#${m.id} ${m.name}</b><br>
+      albedo <input id=al0_${m.id} value=${m.albedo[0]}>
+      <input id=al1_${m.id} value=${m.albedo[1]}>
+      <input id=al2_${m.id} value=${m.albedo[2]}>
+      rough <input id=ro_${m.id} value=${m.roughness}>
+      ior <input id=io_${m.id} value=${m.ior}><br>
+      emis <input id=em0_${m.id} value=${m.emission[0]}>
+      <input id=em1_${m.id} value=${m.emission[1]}>
+      <input id=em2_${m.id} value=${m.emission[2]}>
+      int <input id=in_${m.id} value=${m.intensity}>
+      op <input id=op_${m.id} value=${m.opacity}>
+      <button onclick=applyMat(${m.id})>apply</button>`;
+    mats.appendChild(d);
+  }
   const list = document.getElementById('list');
-  if (list.childElementCount === 0) {
-    for (const inst of s.instances) {
-      const d = document.createElement('div'); d.className = 'inst';
-      d.innerHTML = `<b>#${inst.id} ${inst.name}</b><br>
-        t <input id=tx${inst.id} value=${inst.t[0]}>
-          <input id=ty${inst.id} value=${inst.t[1]}>
-          <input id=tz${inst.id} value=${inst.t[2]}>
-        s <input id=s${inst.id} value=${inst.s}><br>
-        mat <select id=m${inst.id}>${s.materials.map((m,j)=>
-          `<option value=${j} ${j==inst.mat?'selected':''}>${j}: ${m}</option>`).join('')}
-        </select>
-        <button onclick=apply(${inst.id})>apply</button>`;
-      list.appendChild(d);
-    }
+  for (const inst of s.instances) {
+    const d = document.createElement('div'); d.className = 'inst';
+    d.innerHTML = `<b>#${inst.id} ${inst.name}</b><br>
+      t <input id=tx${inst.id} value=${inst.t[0]}>
+        <input id=ty${inst.id} value=${inst.t[1]}>
+        <input id=tz${inst.id} value=${inst.t[2]}>
+      s <input id=s${inst.id} value=${inst.s}><br>
+      r° <input id=rx${inst.id} value=${inst.r[0]}>
+        <input id=ry${inst.id} value=${inst.r[1]}>
+        <input id=rz${inst.id} value=${inst.r[2]}>
+      mat <select id=m${inst.id}>${s.material_props.map(m=>
+        `<option value=${m.id} ${m.id==inst.mat?'selected':''}>${m.id}: ${m.name}</option>`).join('')}
+      </select>
+      <button onclick=apply(${inst.id})>apply</button>`;
+    list.appendChild(d);
   }
 }
 async function apply(i){
-  const q = new URLSearchParams({inst:i,
-    tx:document.getElementById('tx'+i).value,
-    ty:document.getElementById('ty'+i).value,
-    tz:document.getElementById('tz'+i).value,
-    s:document.getElementById('s'+i).value,
-    mat:document.getElementById('m'+i).value});
+  const q = new URLSearchParams({inst:i, tx:num('tx'+i), ty:num('ty'+i),
+    tz:num('tz'+i), s:num('s'+i), rx:num('rx'+i), ry:num('ry'+i),
+    rz:num('rz'+i), mat:document.getElementById('m'+i).value});
   await fetch('/edit?'+q.toString(), {method:'POST'});
+}
+async function applyCam(){
+  const q = new URLSearchParams({px:num('cpx'),py:num('cpy'),pz:num('cpz'),
+    lx:num('clx'),ly:num('cly'),lz:num('clz'),fov:num('cfov')});
+  await fetch('/edit_camera?'+q.toString(), {method:'POST'});
+}
+async function applyMat(i){
+  const q = new URLSearchParams({mat:i,
+    al0:num('al0_'+i),al1:num('al1_'+i),al2:num('al2_'+i),
+    ro:num('ro_'+i),io:num('io_'+i),
+    em0:num('em0_'+i),em1:num('em1_'+i),em2:num('em2_'+i),
+    inten:num('in_'+i),op:num('op_'+i)});
+  await fetch('/edit_material?'+q.toString(), {method:'POST'});
+}
+async function applySettings(){
+  const q = new URLSearchParams({bounces:num('rb'),
+    mis:document.getElementById('rmis').checked?1:0, bg:num('rbg')});
+  await fetch('/edit_settings?'+q.toString(), {method:'POST'});
 }
 setInterval(()=>{
   const im=document.getElementById('im');
@@ -94,36 +168,70 @@ refresh();
 </script></body></html>"""
 
 
+def _euler_affine(t, r_deg, s):
+    """T * Rz*Ry*Rx * S affine (SceneHierarchyPanel TRS order)."""
+    rx, ry, rz = [np.deg2rad(a) for a in r_deg]
+    cx, sx = np.cos(rx), np.sin(rx)
+    cy, sy = np.cos(ry), np.sin(ry)
+    cz, sz = np.cos(rz), np.sin(rz)
+    Rx = np.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
+    Ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+    Rz = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
+    m = np.eye(4, dtype=np.float32)
+    m[:3, :3] = (Rz @ Ry @ Rx * s).astype(np.float32)
+    m[:3, 3] = t
+    return m
+
+
 class EditorState:
     """Shared state between the render loop and the HTTP handlers."""
 
-    def __init__(self, scene, settings, inst_meta, mat_names):
+    def __init__(self, scene, settings, inst_meta, cam_meta):
         self.lock = threading.Lock()
         self.scene = scene
         self.settings = settings
-        self.inst_meta = inst_meta      # [{id, name, t, s, mat}]
-        self.mat_names = mat_names
+        self.inst_meta = inst_meta      # [{id, name, t, r, s, mat}]
+        self.cam_meta = cam_meta        # {pos, look, fov}
         self.acc = None
         self.samples = 0
         self.epoch = 0                  # bumped by edits
         self.ms_per_sample = 0.0
         self.png = b""
 
+    def _material_props(self):
+        m = self.scene.materials
+        mt = np.asarray(m.mtype)
+        al = np.asarray(m.albedo)
+        em = np.asarray(m.emission)
+        r3 = lambda v: [round(float(x), 3) for x in v]
+        return [{
+            "id": i, "name": MTYPE_NAMES.get(int(mt[i]), f"type{mt[i]}"),
+            "albedo": r3(al[i]), "roughness": round(float(np.asarray(m.roughness)[i]), 3),
+            "ior": round(float(np.asarray(m.ior)[i]), 3),
+            "emission": r3(em[i]),
+            "intensity": round(float(np.asarray(m.intensity)[i]), 3),
+            "opacity": round(float(np.asarray(m.opacity)[i]), 3),
+        } for i in range(m.count)]
+
     def snapshot_state(self):
         with self.lock:
+            st = self.settings
             return {
                 "samples": self.samples,
                 "ms_per_sample": self.ms_per_sample,
                 "instances": self.inst_meta,
-                "materials": self.mat_names,
+                "camera": self.cam_meta,
+                "settings": {"bounces": st.path_length,
+                             "mis": st.use_mis,
+                             "bg": round(float(np.asarray(
+                                 self.scene.background_intensity)), 3)},
+                "material_props": self._material_props(),
             }
 
-    def apply_edit(self, inst, tx, ty, tz, s, mat):
+    def apply_edit(self, inst, tx, ty, tz, s, rx, ry, rz, mat):
         from nexus_tpu.scene import edit as edit_mod
 
-        m = np.eye(4, dtype=np.float32)
-        m[0, 0] = m[1, 1] = m[2, 2] = s
-        m[:3, 3] = (tx, ty, tz)
+        m = _euler_affine((tx, ty, tz), (rx, ry, rz), s)
         with self.lock:
             scene = self.scene
         scene = edit_mod.set_transform(scene, inst, m)
@@ -131,13 +239,51 @@ class EditorState:
             scene = edit_mod.set_material(scene, inst, mat)
         with self.lock:
             self.scene = scene
-            self.inst_meta[inst].update(t=[tx, ty, tz], s=s, mat=mat)
+            self.inst_meta[inst].update(t=[tx, ty, tz], r=[rx, ry, rz],
+                                        s=s, mat=mat)
             self.epoch += 1             # invalidation: restart accumulation
+
+    def apply_camera(self, px, py, pz, lx, ly, lz, fov):
+        from nexus_tpu.scene.camera import make_camera
+
+        with self.lock:
+            w, h = self.settings.width, self.settings.height
+        cam = make_camera(position=(px, py, pz), look_at=(lx, ly, lz),
+                          hfov_deg=fov, width=w, height=h)
+        with self.lock:
+            self.scene = self.scene.replace(camera=cam)
+            self.cam_meta = {"pos": [px, py, pz], "look": [lx, ly, lz],
+                             "fov": fov}
+            self.epoch += 1
+
+    def apply_material(self, mat, **props):
+        from nexus_tpu.scene import edit as edit_mod
+
+        with self.lock:
+            scene = self.scene
+        scene = edit_mod.set_material_params(scene, mat, **props)
+        with self.lock:
+            self.scene = scene
+            self.epoch += 1
+
+    def apply_settings(self, bounces, mis, bg):
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        with self.lock:
+            self.settings = dataclasses.replace(
+                self.settings, path_length=int(bounces),
+                use_mis=bool(mis))
+            self.scene = self.scene.replace(
+                background_intensity=jnp.asarray(bg, jnp.float32))
+            self.epoch += 1
 
 
 def _render_loop(st: EditorState, batch: int):
     """Progressive accumulation; restarts on epoch change
-    (ResetFrameNumber semantics, Renderer.cpp:52-56)."""
+    (ResetFrameNumber semantics, Renderer.cpp:52-56). Settings edits
+    swap the jitted function (one recompile per distinct settings)."""
     import jax
     import jax.numpy as jnp
     from PIL import Image
@@ -145,19 +291,25 @@ def _render_loop(st: EditorState, batch: int):
     from nexus_tpu.core.tonemap import to_display
     from nexus_tpu.render.wavefront import render_pixels
 
-    settings = st.settings
-    n = settings.width * settings.height
-    pix = jnp.arange(n, dtype=jnp.int32)
-    fn = jax.jit(lambda s, p, i: render_pixels(s, settings, p, i))
+    fns = {}
+
+    def fn_for(settings):
+        if settings not in fns:
+            fns[settings] = jax.jit(
+                lambda s, p, i, _st=settings: render_pixels(s, _st, p, i))
+        return fns[settings]
 
     epoch, acc, k = -1, None, 0
     while True:
         with st.lock:
-            scene, cur_epoch = st.scene, st.epoch
+            scene, cur_epoch, settings = st.scene, st.epoch, st.settings
+        n = settings.width * settings.height
+        pix = jnp.arange(n, dtype=jnp.int32)
         if cur_epoch != epoch:
             epoch, acc, k = cur_epoch, None, 0
         t0 = time.perf_counter()
         out = None
+        fn = fn_for(settings)
         for _ in range(batch):
             out = fn(scene, pix, jnp.uint32(k))
             acc = out if acc is None else acc + out
@@ -202,14 +354,34 @@ def make_handler(st: EditorState):
 
         def do_POST(self):  # noqa: N802
             u = urlparse(self.path)
-            if u.path != "/edit":
-                self.send_error(404)
-                return
             q = {k: v[0] for k, v in parse_qs(u.query).items()}
             try:
-                st.apply_edit(int(q["inst"]), float(q["tx"]),
-                              float(q["ty"]), float(q["tz"]),
-                              float(q["s"]), int(q["mat"]))
+                if u.path == "/edit":
+                    st.apply_edit(int(q["inst"]), float(q["tx"]),
+                                  float(q["ty"]), float(q["tz"]),
+                                  float(q["s"]), float(q.get("rx", 0)),
+                                  float(q.get("ry", 0)),
+                                  float(q.get("rz", 0)), int(q["mat"]))
+                elif u.path == "/edit_camera":
+                    st.apply_camera(*[float(q[k]) for k in
+                                      ("px", "py", "pz", "lx", "ly",
+                                       "lz", "fov")])
+                elif u.path == "/edit_material":
+                    st.apply_material(
+                        int(q["mat"]),
+                        albedo=(float(q["al0"]), float(q["al1"]),
+                                float(q["al2"])),
+                        roughness=float(q["ro"]), ior=float(q["io"]),
+                        emission=(float(q["em0"]), float(q["em1"]),
+                                  float(q["em2"])),
+                        intensity=float(q["inten"]),
+                        opacity=float(q["op"]))
+                elif u.path == "/edit_settings":
+                    st.apply_settings(int(q["bounces"]),
+                                      q["mis"] == "1", float(q["bg"]))
+                else:
+                    self.send_error(404)
+                    return
                 self._send(200, "application/json", b'{"ok":true}')
             except Exception as e:  # surface edit errors to the panel
                 self._send(400, "application/json",
@@ -252,10 +424,10 @@ def main(argv=None) -> int:
         from nexus_tpu.scenes import blob_mesh
 
         light = b.add_material(albedo=(0, 0, 0), emission=(1, 1, 0.9),
-                                intensity=6.0)
+                               intensity=6.0)
         white = b.add_material(albedo=(0.73, 0.73, 0.73))
         red = b.add_material(mtype=2, albedo=(0.8, 0.25, 0.2),
-                              roughness=0.3)
+                             roughness=0.3)
         glass = b.add_material(mtype=1, ior=1.5)
         v, f = blob_mesh(3)
         blob = b.add_mesh_asset(v, f, name="blob")
@@ -279,6 +451,10 @@ def main(argv=None) -> int:
     if b.camera is None:
         b.set_camera(position=(0.0, 1.0, 3.4), look_at=(0.0, 1.0, 0.0),
                      hfov_deg=50.0, width=args.res, height=args.res)
+    cam_kw = dict(getattr(b, "_camera_kw", None) or {})
+    cam_kw.setdefault("position", (0.0, 1.2, 5.0))
+    cam_kw.setdefault("look_at", (0.0, 0.0, 0.0))
+    cam_kw.setdefault("hfov_deg", 55.0)
     scene = b.build_instanced()
     settings = RenderSettings(width=args.res, height=args.res,
                               path_length=args.bounces)
@@ -290,13 +466,15 @@ def main(argv=None) -> int:
         inst_meta.append({
             "id": i, "name": r["name"],
             "t": [round(float(x), 3) for x in m34[:, 3]],
+            "r": [0.0, 0.0, 0.0],
             "s": round(float(np.linalg.norm(m34[:, 0])), 3),
             "mat": int(r["material_id"]),
         })
-    mat_names = [f"type{int(t)}" for t in
-                 np.asarray(scene.materials.mtype)]
+    cam_meta = {"pos": [round(float(x), 3) for x in cam_kw["position"]],
+                "look": [round(float(x), 3) for x in cam_kw["look_at"]],
+                "fov": cam_kw.get("hfov_deg", 55.0)}
 
-    st = EditorState(scene, settings, inst_meta, mat_names)
+    st = EditorState(scene, settings, inst_meta, cam_meta)
     threading.Thread(target=_render_loop, args=(st, args.batch),
                      daemon=True).start()
     srv = ThreadingHTTPServer(("0.0.0.0", args.port), make_handler(st))

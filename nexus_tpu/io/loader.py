@@ -27,7 +27,11 @@ def add_model(builder: SceneBuilder, path: str | Path) -> list[int]:
         return _add_obj(builder, path)
     if suffix == ".ply":
         return _add_ply(builder, path)
-    raise ValueError(f"unsupported model format: {suffix}")
+    raise ValueError(
+        f"unsupported model format {suffix!r}: supported are .glb/.gltf, "
+        f".obj (+.mtl), .ply. The reference reads fbx/blend/3ds/dae via "
+        f"assimp, which this build does not link — convert to glTF "
+        f"(e.g. `assimp export {path.name} {path.stem}.glb`).")
 
 
 def _add_ply(builder: SceneBuilder, path: Path) -> list[int]:

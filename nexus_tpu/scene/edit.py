@@ -223,3 +223,90 @@ def set_material(scene: SceneData, inst_id: int, mat_id: int) -> SceneData:
         light_ntris=jnp.asarray(ntris, jnp.int32),
         light_tris=jnp.asarray(light_tris, jnp.int32),
         n_lights=n_lights)
+
+
+def set_material_params(scene: SceneData, mat_id: int,
+                        **props) -> SceneData:
+    """Edit material `mat_id`'s PROPERTIES in place (functional).
+
+    The live per-material editors of the reference's hierarchy panel
+    (albedo/roughness/ior/emission/intensity/opacity sliders,
+    SceneHierarchyPanel.cpp:158-208 driving
+    AssetManager::InvalidateMaterial). Scalar/color edits are
+    shape-stable — no recompile, the next sample just traces the new
+    pytree. If the edit flips the material's EMISSIVE status, the mesh
+    light tables are re-derived (Scene.cpp:142-176 semantics), which
+    changes shapes and recompiles.
+
+    props: any of albedo, roughness, ior, emission, intensity, opacity,
+    eta, k (floats or 3-sequences as appropriate).
+    """
+    mats = scene.materials
+    allowed = {"albedo", "roughness", "ior", "emission", "intensity",
+               "opacity", "eta", "k"}
+    bad = set(props) - allowed
+    if bad:
+        raise ValueError(f"unknown material properties {sorted(bad)}")
+
+    was_emissive = bool(
+        float(np.max(np.asarray(mats.emission)[mat_id])
+              * np.asarray(mats.intensity)[mat_id]) > 0.0)
+    new_fields = {}
+    for name, value in props.items():
+        arr = np.asarray(getattr(mats, name)).copy()
+        arr[mat_id] = np.asarray(value, arr.dtype)
+        new_fields[name] = jnp.asarray(arr)
+    scene = scene.replace(materials=mats.replace(**new_fields))
+
+    mats = scene.materials
+    now_emissive = bool(
+        float(np.max(np.asarray(mats.emission)[mat_id])
+              * np.asarray(mats.intensity)[mat_id]) > 0.0)
+    if was_emissive == now_emissive:
+        return scene
+    # Emissive set changed: rebuild light tables via the existing
+    # binding path (set_material with the CURRENT binding recomputes
+    # them from the new emissive set).
+    emissive = np.asarray(
+        np.max(np.asarray(mats.emission), axis=-1)
+        * np.asarray(mats.intensity) > 0.0)
+    if scene.is_instanced:
+        t = scene.tlas
+        new_mats = np.asarray(t.inst_mat)
+        tri_off = np.asarray(t.inst_tri_off)
+        ntris_all = np.asarray(t.inst_ntris)
+        starts, ntris, light_tris, light_inst = [], [], [], []
+        for i in range(t.n_instances):
+            if emissive[new_mats[i]]:
+                starts.append(len(light_tris))
+                ntris.append(int(ntris_all[i]))
+                light_tris.extend(range(
+                    int(tri_off[i]), int(tri_off[i] + ntris_all[i])))
+                light_inst.append(i)
+        n_lights = len(starts)
+        if not starts:
+            starts, ntris, light_tris, light_inst = [0], [0], [0], [0]
+        return scene.replace(
+            light_start=jnp.asarray(starts, jnp.int32),
+            light_ntris=jnp.asarray(ntris, jnp.int32),
+            light_tris=jnp.asarray(light_tris, jnp.int32),
+            light_inst=jnp.asarray(light_inst, jnp.int32),
+            n_lights=n_lights)
+    tri_inst = np.asarray(scene.tri_inst)
+    tri_mat = np.asarray(scene.tri_mat)
+    starts, ntris, light_tris = [], [], []
+    n_inst = int(np.asarray(scene.inst_ntris).shape[0])
+    for i in range(n_inst):
+        tris = np.nonzero(tri_inst == i)[0]
+        if tris.size and emissive[tri_mat[tris[0]]]:
+            starts.append(len(light_tris))
+            ntris.append(int(tris.size))
+            light_tris.extend(tris.tolist())
+    n_lights = len(starts)
+    if not starts:
+        starts, ntris, light_tris = [0], [0], [0]
+    return scene.replace(
+        light_start=jnp.asarray(starts, jnp.int32),
+        light_ntris=jnp.asarray(ntris, jnp.int32),
+        light_tris=jnp.asarray(light_tris, jnp.int32),
+        n_lights=n_lights)

@@ -374,6 +374,7 @@ class SceneBuilder:
 
     def set_camera(self, **kw):
         self.camera = make_camera(**kw)
+        self._camera_kw = dict(kw)   # editor panels re-derive from these
 
     def build(self, leaf_size: int = 4, accel: str = "links") -> SceneData:
         """Build the flat device scene.

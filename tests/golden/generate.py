@@ -48,6 +48,37 @@ def golden(name):
     print(f"{name}: mean {img.mean():.4f} max {img.max():.2f} -> {out}")
 
 
+def golden_procedural(name, scene_fn, width, height, spp, bounces):
+    """BASELINE configs 3-5 gates (VERDICT r3 next-step #5): small-res
+    goldens over the procedural stand-in scenes so traversal/BSDF/
+    texture/instancing regressions on the glass, instanced, and
+    interior configs fail the default suite, not just Cornell."""
+    scene = scene_fn()
+    st = RenderSettings(width=width, height=height, path_length=bounces,
+                        use_mis=True)
+    img = np.asarray(render(scene, st, n_samples=spp), np.float32)
+    assert np.isfinite(img).all()
+    out = os.path.join(os.path.dirname(__file__), f"{name}.npy")
+    np.save(out, img)
+    print(f"{name}: mean {img.mean():.4f} max {img.max():.2f} -> {out}")
+
+
+PROCEDURAL = {
+    # name -> (scene_fn, w, h, spp, bounces); kept small so the default
+    # suite re-renders them in seconds on CPU.
+    "glass": (lambda: __import__("nexus_tpu.scenes", fromlist=["x"])
+              .glass_scene(128, 128), 128, 128, 8, 6),
+    "instanced": (lambda: __import__("nexus_tpu.scenes", fromlist=["x"])
+                  .instanced_env_scene(160, 90, n_inst=9, subdiv=2),
+                  160, 90, 8, 4),
+    "interior": (lambda: __import__("nexus_tpu.scenes", fromlist=["x"])
+                 .interior_scene(160, 90, target_tris=60_000),
+                 160, 90, 4, 4),
+}
+
+
 if __name__ == "__main__":
     golden("cornell_box")
     golden("cornell_box_sphere")
+    for name, (fn, w, h, spp, bounces) in PROCEDURAL.items():
+        golden_procedural(name, fn, w, h, spp, bounces)

@@ -195,6 +195,21 @@ def main():
     assert c4["t_relerr_max"] < 1e-4, c4
     report["checks"]["closest_vs_bruteforce_instanced"] = c4
 
+    # ---- sharded render on a 1-device mesh (VERDICT r3 next #8):
+    # the pallas_call-inside-jit-with-sharded-inputs composition runs
+    # on the REAL chip every round, even without multi-chip hardware,
+    # and must bit-match the unsharded render.
+    from nexus_tpu.dist import sharding as dist
+
+    mesh1 = dist.make_mesh(jax.devices()[:1])
+    img_sh = np.asarray(dist.render_sharded(s64, st, n_samples=2,
+                                            mesh=mesh1))
+    img_un = np.asarray(megakernel.render(s64, st, n_samples=2))
+    c5 = {"max_abs_diff": float(np.abs(img_sh - img_un).max()),
+          "finite": bool(np.isfinite(img_sh).all())}
+    assert c5["finite"] and c5["max_abs_diff"] == 0.0, c5
+    report["checks"]["sharded_1dev_mesh_bitmatch"] = c5
+
     report["ok"] = True
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "TPU_CHECK.json")
