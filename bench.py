@@ -106,24 +106,36 @@ def bench_config(name, spec, res_override=None, spp_override=None,
     fwd(scene, chunks[0], jnp.uint32(0)).block_until_ready()
     compile_fwd = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
+    # Median-of-rounds with min/max dispersion (VERDICT r3 next #2:
+    # single-shot numbers on the drift-prone tunneled TPU are not
+    # evidence). Each round is a full spp pass.
+    ROUNDS = 5
+    fwd_times = []
     out = None
-    for k in range(spp):
-        for p in chunks:
-            out = fwd(scene, p, jnp.uint32(k))
-    out.block_until_ready()
-    dt_fwd = time.perf_counter() - t0
+    for _ in range(ROUNDS):
+        t0 = time.perf_counter()
+        for k in range(spp):
+            for p in chunks:
+                out = fwd(scene, p, jnp.uint32(k))
+        out.block_until_ready()
+        fwd_times.append(time.perf_counter() - t0)
+    fwd_times.sort()
+    dt_fwd = fwd_times[len(fwd_times) // 2]
 
     t0 = time.perf_counter()
     g = bwd(scene, chunks[0], jnp.uint32(0))
     jax.block_until_ready(g)
     compile_bwd = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    for k in range(spp):
-        for p in chunks:
-            g = bwd(scene, p, jnp.uint32(k))
-    jax.block_until_ready(g)
-    dt_bwd = time.perf_counter() - t0
+    bwd_times = []
+    for _ in range(ROUNDS):
+        t0 = time.perf_counter()
+        for k in range(spp):
+            for p in chunks:
+                g = bwd(scene, p, jnp.uint32(k))
+        jax.block_until_ready(g)
+        bwd_times.append(time.perf_counter() - t0)
+    bwd_times.sort()
+    dt_bwd = bwd_times[len(bwd_times) // 2]
 
     # ---- Phase 2: readbacks (poison the fast path; nothing is timed
     # after this point) --------------------------------------------------
@@ -141,6 +153,10 @@ def bench_config(name, spec, res_override=None, spp_override=None,
     return {
         "ts": time.time(), "config": name,
         "value": n_rays / dt_fwd / 1e6, "unit": "Mrays/s",
+        "fwd_s_min_med_max": [round(fwd_times[0], 4), round(dt_fwd, 4),
+                              round(fwd_times[-1], 4)],
+        "bwd_s_min_med_max": [round(bwd_times[0], 4), round(dt_bwd, 4),
+                              round(bwd_times[-1], 4)],
         "bwd_mrays": n_rays / dt_bwd / 1e6,
         "res": width, "height": height, "spp": spp, "bounces": bounces,
         "tris": int(scene.tri_count),
@@ -193,8 +209,10 @@ def main():
 
         jax.config.update("jax_platforms", "cpu")
     from nexus_tpu.core.cache import enable_compile_cache
+    from nexus_tpu.core.debug import maybe_enable_from_env
 
     enable_compile_cache()
+    maybe_enable_from_env()
     primary = os.environ.get("BENCH_CONFIG", "cornell_sphere")
     rec = _run_one(primary, os.environ.get("BENCH_RES"),
                    os.environ.get("BENCH_SPP"),

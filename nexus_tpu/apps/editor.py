@@ -21,10 +21,12 @@ as a browser panel over a headless render loop:
     shape-stable, next sample traces the new values; flipping a
     material emissive rebuilds the light tables and recompiles, as
     documented there);
-  - the CAMERA panel edits position / look-at / horizontal FOV — the
-    camera is a traced pytree, so moves re-trace nothing and recompile
-    nothing (closing the reference's fly-camera gap, Camera.cpp:37-100,
-    as editable fields);
+  - the CAMERA panel edits position / look-at / horizontal FOV, and
+    the page has FLY NAVIGATION: WASD moves in the view plane, Q/E
+    down/up, arrow keys orbit the look-at point (the reference's
+    WASD+mouse camera, Camera.cpp:37-100 / Input.cpp:5-32, as browser
+    keys) — the camera is a traced pytree, so every move re-traces
+    nothing and recompiles nothing;
   - RENDER SETTINGS edits path length and the MIS toggle (static jit
     arguments — applying them recompiles once, which the panel warns
     about) plus background intensity (traced, free).
@@ -159,6 +161,41 @@ async function applySettings(){
     mis:document.getElementById('rmis').checked?1:0, bg:num('rbg')});
   await fetch('/edit_settings?'+q.toString(), {method:'POST'});
 }
+// Fly camera (the reference's WASD navigation, Camera.cpp:37-100):
+// WASD moves in the view plane, Q/E down/up, arrows orbit the look-at
+// point. Each keypress updates the fields and applies immediately
+// (camera is a traced pytree — edits never recompile).
+document.addEventListener('keydown', (ev)=>{
+  if (ev.target.tagName === 'INPUT') return;
+  const P=[num('cpx'),num('cpy'),num('cpz')];
+  const L=[num('clx'),num('cly'),num('clz')];
+  let f=[L[0]-P[0],L[1]-P[1],L[2]-P[2]];
+  const fl=Math.hypot(...f); f=f.map(x=>x/fl);
+  const up=[0,1,0];
+  let r=[f[1]*up[2]-f[2]*up[1], f[2]*up[0]-f[0]*up[2], f[0]*up[1]-f[1]*up[0]];
+  const rl=Math.hypot(...r)||1; r=r.map(x=>x/rl);
+  const step=0.25*Math.max(fl,1), rot=0.12;
+  let dP=[0,0,0], dL=[0,0,0];
+  switch(ev.key){
+    case 'w': dP=f.map(x=>x*step); dL=dP; break;
+    case 's': dP=f.map(x=>-x*step); dL=dP; break;
+    case 'a': dP=r.map(x=>-x*step); dL=dP; break;
+    case 'd': dP=r.map(x=>x*step); dL=dP; break;
+    case 'q': dP=[0,-step,0]; dL=dP; break;
+    case 'e': dP=[0,step,0]; dL=dP; break;
+    case 'ArrowLeft':  dP=r.map(x=>-x*fl*rot); break;
+    case 'ArrowRight': dP=r.map(x=> x*fl*rot); break;
+    case 'ArrowUp':    dP=[0, fl*rot,0]; break;
+    case 'ArrowDown':  dP=[0,-fl*rot,0]; break;
+    default: return;
+  }
+  const ids=['cpx','cpy','cpz','clx','cly','clz'];
+  const vals=[P[0]+dP[0],P[1]+dP[1],P[2]+dP[2],
+              L[0]+dL[0],L[1]+dL[1],L[2]+dL[2]];
+  ids.forEach((id,i)=>document.getElementById(id).value=
+              Math.round(vals[i]*1000)/1000);
+  applyCam();
+});
 setInterval(()=>{
   const im=document.getElementById('im');
   const p=new Image(); p.onload=()=>{im.src=p.src};

@@ -158,8 +158,10 @@ def main(argv=None) -> int:
     import jax.numpy as jnp
 
     from nexus_tpu.core.cache import enable_compile_cache
+    from nexus_tpu.core.debug import maybe_enable_from_env
 
     enable_compile_cache()
+    maybe_enable_from_env()   # NEXUS_DEBUG_NAN=1: NaNs raise at source
 
     from nexus_tpu.core.config import RenderSettings
     from nexus_tpu.io.image import write_hdr, write_png
@@ -216,7 +218,9 @@ def main(argv=None) -> int:
                   f"-> {args.out}", flush=True)
 
     img = acc.reshape(args.height, args.width, 3)
-    assert np.isfinite(img).all(), "non-finite radiance in output"
+    from nexus_tpu.core.debug import assert_finite
+
+    assert_finite(img, "render output")
     write_png(args.out, img, exposure=args.exposure)
     if args.hdr_out:
         write_hdr(args.hdr_out, img)
