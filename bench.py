@@ -8,14 +8,15 @@ The reference publishes no numbers (BASELINE.md), so vs_baseline is
 reported against the same config's rays/s of the previous round when
 available (bench_history.json), else null.
 
-TIMING HYGIENE (critical on the axon TPU tunnel): the FIRST
-device-to-host readback in a process permanently disables the client's
-fast dispatch path — every later executable call pays a ~16 ms tunnel
-round-trip (measured: 0.09 ms/call before a single np.asarray(out),
-15.7 ms/call after, no recovery). All timed loops therefore run BEFORE
-any readback (ray counting, finiteness asserts), and BENCH_FULL runs
-every config in its own subprocess so configs cannot poison each other.
-This was the unexplained r2 forward regression (VERDICT r2 missing #3).
+TIMING HYGIENE (critical on the axon TPU tunnel):
+`block_until_ready` does not reliably block — in some process regimes
+it returns while kernels are still executing, which is what produced
+round 3's impossible scaling numbers AND its "readback poison" lore
+(the readback never slowed anything; it forced the synchronization the
+block skipped — verified by A/B with per-call readbacks, docs/perf.md).
+Every timed round here therefore ends with a one-element readback, and
+the measured dispatch+readback round trip is subtracted. BENCH_FULL
+still isolates configs in subprocesses (process speed regimes differ).
 
 Env knobs:
   BENCH_CONFIG  primary config name (default cornell_sphere; one of
@@ -101,14 +102,31 @@ def bench_config(name, spec, res_override=None, spp_override=None,
     bwd = jax.jit(lambda s, p, i: jax.grad(loss, allow_int=True)(
         s.materials, s, p, i))
 
-    # ---- Phase 1: compile + time (NO readbacks in this phase) ----------
+    def sync(x):
+        # TRUE completion barrier: block + one-element readback
+        # (see module docstring; device execution is in-order).
+        jax.block_until_ready(x)
+        leaf = jax.tree_util.tree_leaves(x)[0]
+        np.asarray(leaf[(0,) * leaf.ndim])
+
+    # ---- Phase 1: compile ---------------------------------------------
     t0 = time.perf_counter()
-    fwd(scene, chunks[0], jnp.uint32(0)).block_until_ready()
+    sync(fwd(scene, chunks[0], jnp.uint32(0)))
     compile_fwd = time.perf_counter() - t0
+
+    # Fixed sync cost to subtract from each timed round.
+    tiny = jax.jit(lambda x: x * 2.0)
+    sync(tiny(jnp.ones((8, 128))))
+    rtts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        sync(tiny(jnp.ones((8, 128))))
+        rtts.append(time.perf_counter() - t0)
+    rtt = sorted(rtts)[2]
 
     # Median-of-rounds with min/max dispersion (VERDICT r3 next #2:
     # single-shot numbers on the drift-prone tunneled TPU are not
-    # evidence). Each round is a full spp pass.
+    # evidence). Each round is a full spp pass closed by a sync.
     ROUNDS = 5
     fwd_times = []
     out = None
@@ -117,14 +135,14 @@ def bench_config(name, spec, res_override=None, spp_override=None,
         for k in range(spp):
             for p in chunks:
                 out = fwd(scene, p, jnp.uint32(k))
-        out.block_until_ready()
-        fwd_times.append(time.perf_counter() - t0)
+        sync(out)
+        fwd_times.append(max(time.perf_counter() - t0 - rtt, 1e-9))
     fwd_times.sort()
     dt_fwd = fwd_times[len(fwd_times) // 2]
 
     t0 = time.perf_counter()
     g = bwd(scene, chunks[0], jnp.uint32(0))
-    jax.block_until_ready(g)
+    sync(g)
     compile_bwd = time.perf_counter() - t0
     bwd_times = []
     for _ in range(ROUNDS):
@@ -132,13 +150,12 @@ def bench_config(name, spec, res_override=None, spp_override=None,
         for k in range(spp):
             for p in chunks:
                 g = bwd(scene, p, jnp.uint32(k))
-        jax.block_until_ready(g)
-        bwd_times.append(time.perf_counter() - t0)
+        sync(g)
+        bwd_times.append(max(time.perf_counter() - t0 - rtt, 1e-9))
     bwd_times.sort()
     dt_bwd = bwd_times[len(bwd_times) // 2]
 
-    # ---- Phase 2: readbacks (poison the fast path; nothing is timed
-    # after this point) --------------------------------------------------
+    # ---- Phase 2: full readbacks + validation --------------------------
     assert np.isfinite(np.asarray(out)).all(), "non-finite radiance"
     finite = all(np.isfinite(np.asarray(x)).all()
                  for x in jax.tree_util.tree_leaves(g)
@@ -161,6 +178,7 @@ def bench_config(name, spec, res_override=None, spp_override=None,
         "res": width, "height": height, "spp": spp, "bounces": bounces,
         "tris": int(scene.tri_count),
         "build_s": round(build_s, 1),
+        "sync_rtt_s": round(rtt, 4),
         "compile_fwd_s": round(compile_fwd, 1),
         "compile_bwd_s": round(compile_bwd, 1),
         "backend": jax.devices()[0].platform,

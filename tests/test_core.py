@@ -117,3 +117,23 @@ class TestTonemap:
         x = jnp.linspace(0.0, 4.0, 64)
         y = np.asarray(tonemap.aces_tonemap(x))
         assert np.all(np.diff(y) >= -1e-6)
+
+
+def test_zorder_is_permutation_and_local():
+    """core/zorder.py: valid permutation, square-ish tiles, exact inverse."""
+    import numpy as np
+
+    from nexus_tpu.core.zorder import zorder_pixels
+
+    for w, h in ((64, 64), (160, 90)):
+        perm = zorder_pixels(w, h)
+        assert sorted(perm.tolist()) == list(range(w * h))
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(w * h, dtype=np.int32)
+        assert (perm[inv] == np.arange(w * h)).all()
+        # locality: a 64-lane tile of the 64x64 enumeration spans an
+        # 8x8 pixel block, not a scanline
+        tile = perm[:64] if w == 64 else None
+        if tile is not None:
+            xs, ys = tile % w, tile // w
+            assert xs.max() - xs.min() <= 8 and ys.max() - ys.min() <= 8
