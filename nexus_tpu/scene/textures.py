@@ -34,6 +34,16 @@ class TextureAtlas:
     """
     data: jnp.ndarray   # (H, W, 4) float32 sheet
     rect: jnp.ndarray   # (T, 4) int32 — (y0, x0, h, w) per texture
+    nx1: jnp.ndarray    # (H, W) int32 — x-index of the RIGHT neighbor,
+    #                     wrapped inside the owning texture's rect
+    ny1: jnp.ndarray    # (H, W) int32 — wrapped DOWN neighbor's y-index.
+    #                     Together they let sampling build a (H, W, 16)
+    #                     2x2-neighborhood sheet in-program, making a
+    #                     bilinear tap ONE N-index gather instead of
+    #                     four (the per-index gather cost dominates
+    #                     textured shading; the neighborhood build is
+    #                     atlas-sized, CSE'd across taps, and keeps
+    #                     texture-texel gradients flowing into `data`)
     # Static: no real textures exist (the sheet is the 1x1 white
     # fallback). Sampling then short-circuits to white WITHOUT emitting
     # gathers — on TPU each bilinear tap is a serial 65k-index gather
@@ -79,10 +89,19 @@ def build_atlas(images: list) -> TextureAtlas:
     sheet_h = shelf_y + shelf_h
 
     data = np.zeros((sheet_h, sheet_w, 4), np.float32)
+    # Neighbor index maps: identity outside any rect; wrapped within.
+    nx1 = np.tile(np.arange(sheet_w, dtype=np.int32), (sheet_h, 1))
+    ny1 = np.tile(np.arange(sheet_h, dtype=np.int32)[:, None],
+                  (1, sheet_w))
     for i, im in enumerate(images):
         y0, x0, h, w = rect[i]
         data[y0:y0 + h, x0:x0 + w] = im
+        xs = x0 + (np.arange(w, dtype=np.int32) + 1) % w
+        ys = y0 + (np.arange(h, dtype=np.int32) + 1) % h
+        nx1[y0:y0 + h, x0:x0 + w] = xs[None, :]
+        ny1[y0:y0 + h, x0:x0 + w] = ys[:, None]
     return TextureAtlas(data=jnp.asarray(data), rect=jnp.asarray(rect),
+                        nx1=jnp.asarray(nx1), ny1=jnp.asarray(ny1),
                         empty=empty)
 
 
@@ -116,13 +135,28 @@ def sample(atlas: TextureAtlas, tex_id: jnp.ndarray,
         return jnp.mod(i.astype(jnp.int32), jnp.maximum(n.astype(jnp.int32), 1))
 
     # Wrap INSIDE the texture's rect, then offset into the sheet.
-    x0i, x1i = x0r + wrap(x0, w), x0r + wrap(x0 + 1, w)
-    y0i, y1i = y0r + wrap(y0, h), y0r + wrap(y0 + 1, h)
+    x0i = x0r + wrap(x0, w)
+    y0i = y0r + wrap(y0, h)
 
-    c00 = atlas.data[y0i, x0i]
-    c10 = atlas.data[y0i, x1i]
-    c01 = atlas.data[y1i, x0i]
-    c11 = atlas.data[y1i, x1i]
+    # 2x2-neighborhood sheet built in-program from `data` (so texel
+    # gradients still reach the trainable atlas) using the precomputed
+    # wrapped-neighbor maps; identical across a program's tap sites, so
+    # XLA CSEs it to one build. The tap itself is then a SINGLE
+    # N-index gather of 16 floats instead of four 4-float gathers —
+    # the per-index cost is what dominates (docs/perf.md).
+    d = atlas.data
+    rows = jnp.broadcast_to(jnp.arange(d.shape[0])[:, None],
+                            atlas.nx1.shape)
+    cols = jnp.broadcast_to(jnp.arange(d.shape[1])[None, :],
+                            atlas.ny1.shape)
+    c10s = d[rows, atlas.nx1]
+    c01s = d[atlas.ny1, cols]
+    c11s = d[atlas.ny1, atlas.nx1]
+    quad = jnp.concatenate([d, c10s, c01s, c11s], axis=-1)  # (H, W, 16)
+
+    q = quad[y0i, x0i]                                      # (..., 16)
+    c00, c10, c01, c11 = (q[..., 0:4], q[..., 4:8],
+                          q[..., 8:12], q[..., 12:16])
     col = (c00 * (1 - fx) * (1 - fy) + c10 * fx * (1 - fy)
            + c01 * (1 - fx) * fy + c11 * fx * fy)
 
@@ -149,14 +183,22 @@ def sample_equirect(env: jnp.ndarray, direction: jnp.ndarray) -> jnp.ndarray:
     fx = (x - x0)[..., None]
     fy = (y - y0)[..., None]
     x0i = jnp.mod(x0.astype(jnp.int32), w)
-    x1i = jnp.mod(x0.astype(jnp.int32) + 1, w)
-    # Clamp v (poles shouldn't wrap to the opposite pole).
+    # Clamp v (poles shouldn't wrap to the opposite pole). The packed
+    # neighborhood handles the BOTTOM edge (row h-1's down-neighbor is
+    # itself); the top edge (y0 = -1 clamped to 0) must put all weight
+    # on the clamped row, so fy is zeroed there.
+    fy = jnp.where((y0 < 0)[..., None], 0.0, fy)
     y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
-    y1i = jnp.clip(y0.astype(jnp.int32) + 1, 0, h - 1)
 
-    c00 = env[y0i, x0i]
-    c10 = env[y0i, x1i]
-    c01 = env[y1i, x0i]
-    c11 = env[y1i, x1i]
+    # Same one-gather 2x2-neighborhood trick as `sample` (the build is
+    # env-sized and CSE'd; the per-ray tap is one gather, not four).
+    c10s = jnp.roll(env, -1, axis=1)                     # x+1 wraps
+    c01s = jnp.concatenate([env[1:], env[-1:]], axis=0)  # y+1 clamps
+    c11s = jnp.roll(c01s, -1, axis=1)
+    quad = jnp.concatenate([env, c10s, c01s, c11s], axis=-1)  # (H, W, 12)
+
+    q = quad[y0i, x0i]
+    c00, c10, c01, c11 = (q[..., 0:3], q[..., 3:6],
+                          q[..., 6:9], q[..., 9:12])
     return (c00 * (1 - fx) * (1 - fy) + c10 * fx * (1 - fy)
             + c01 * (1 - fx) * fy + c11 * fx * fy)
