@@ -87,14 +87,28 @@ def render_pixels(scene: SceneData, settings: RenderSettings,
         state=state)
     lane_pix = jnp.arange(n, dtype=jnp.int32)
 
+    # Dead-lane PARKING: a stable 1-bit partition per bounce sinks dead
+    # lanes to the tail WITHOUT disturbing the z-order of live lanes,
+    # so whole trace tiles go fully-dead and skip every block (the
+    # queue-compaction analog at its cheapest). Opt-in via
+    # settings.park_dead_min_tris (default off): at 4 bounces the
+    # ~13 ms/bounce permute measured 3% net SLOWER on the 1M interior —
+    # it pays for deep path lengths where late bounces are mostly dead.
+    park = (not settings.sort_lanes
+            and 0 < settings.park_dead_min_tris <= scene.tri_count)
+
     def body(carry, bounce):
         ps, lane_pix = carry
         if settings.sort_lanes:
-            # Sort: live-first, then by direction octant (the queue
-            # analog). Stable, so image coherence survives within each
-            # octant. Off by default — see RenderSettings.sort_lanes.
+            # Full sort: live-first, then by direction octant (the
+            # queue analog). Stable, so image coherence survives within
+            # each octant. Off by default — see RenderSettings.
             key = jnp.where(ps.active, _octant(ps.ray_d), 8)
             perm = jnp.argsort(key, stable=True)
+            ps = jax.tree.map(lambda a: a[perm], ps)
+            lane_pix = lane_pix[perm]
+        elif park:
+            perm = jnp.argsort(~ps.active, stable=True)
             ps = jax.tree.map(lambda a: a[perm], ps)
             lane_pix = lane_pix[perm]
         ps = _bounce(scene, settings, ps, bounce)
