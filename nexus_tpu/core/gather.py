@@ -40,7 +40,13 @@ def take_small(table: jnp.ndarray, ids: jnp.ndarray,
     if jnp.issubdtype(table.dtype, jnp.floating):
         oh = eq.astype(table.dtype)
         flat = table.reshape(m, -1)
-        out = jnp.einsum("...m,mc->...c", oh, flat)
+        # precision='highest': on TPU the MXU would otherwise run this
+        # contraction in bf16, silently quantizing the gathered table
+        # values (instance transforms, material parameters) on the TPU
+        # backend only — measured as a ~6% systematic energy shift on
+        # the instanced scene vs the f32 CPU render. With 0/1 one-hot
+        # weights and highest precision the selection is exact.
+        out = jnp.einsum("...m,mc->...c", oh, flat, precision="highest")
         return out.reshape(ids.shape + table.shape[1:])
     # Exact path for int/bool payloads (no float roundtrip).
     flat = table.reshape(m, -1)

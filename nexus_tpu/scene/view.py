@@ -144,7 +144,8 @@ def fetch_attr(scene, tri_id, inst_id) -> TriAttr:
         v0, v1, v2 = (_xform_point(m, v0), _xform_point(m, v1),
                       _xform_point(m, v2))
         nm = take_small(t.inst_nrm, inst_id)         # (..., 3, 3)
-        xf = lambda n: jnp.einsum("...ij,...j->...i", nm, n)
+        xf = lambda n: jnp.einsum("...ij,...j->...i", nm, n,
+                          precision="highest")
         n0, n1, n2 = xf(n0), xf(n1), xf(n2)
         mat_id = take_small(t.inst_mat, inst_id)
         ntris = take_small(t.inst_ntris, inst_id)
@@ -179,7 +180,8 @@ def tri_world_normals(scene, tri_id, inst_id):
     n2 = scene.n2[tri_id]
     if scene.is_instanced:
         nm = take_small(scene.tlas.inst_nrm, inst_id)  # (..., 3, 3)
-        xf = lambda n: jnp.einsum("...ij,...j->...i", nm, n)
+        xf = lambda n: jnp.einsum("...ij,...j->...i", nm, n,
+                          precision="highest")
         return xf(n0), xf(n1), xf(n2)
     return n0, n1, n2
 
@@ -193,7 +195,8 @@ def world_geometric_normal(scene, tri_id, inst_id) -> jnp.ndarray:
         gn = tri_mod.geometric_normal(t.v0[tri_id], t.v1[tri_id],
                                       t.v2[tri_id])
         return jnp.einsum("...ij,...j->...i",
-                          take_small(t.inst_nrm, inst_id), gn)
+                          take_small(t.inst_nrm, inst_id), gn,
+                          precision="highest")
     b = scene.bvh
     return tri_mod.geometric_normal(b.v0[tri_id], b.v1[tri_id], b.v2[tri_id])
 

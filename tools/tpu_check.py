@@ -210,6 +210,33 @@ def main():
     assert c5["finite"] and c5["max_abs_diff"] == 0.0, c5
     report["checks"]["sharded_1dev_mesh_bitmatch"] = c5
 
+    # ---- on-chip golden gate (instanced): the TPU backend must match
+    # the CPU-blessed golden. This caught a real shipping bug: the
+    # one-hot matmul gathers (take_small) ran on the MXU in bf16 by
+    # default, quantizing instance transforms and material parameters
+    # ON THE CHIP ONLY — a systematic ~6% energy deficit (19 dB vs the
+    # golden) invisible to the CPU suite. With precision='highest' the
+    # same render matches at >90 dB.
+    from tests.golden.generate import PROCEDURAL
+
+    fn5, w5, h5, spp5, b5 = PROCEDURAL["instanced"]
+    st5 = RenderSettings(width=w5, height=h5, path_length=b5,
+                         use_mis=True)
+    img5 = np.asarray(megakernel.render(fn5(), st5, n_samples=spp5))
+    ref5 = np.load(os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tests", "golden", "instanced.npy"))
+
+    def _disp(x):
+        a, b_, c_, d_, e_ = 2.51, 0.03, 2.43, 0.59, 0.14
+        x = np.clip(x, 0.0, None)
+        x = (x * (a * x + b_)) / (x * (c_ * x + d_) + e_)
+        return np.clip(x, 0.0, 1.0) ** (1.0 / 2.2)
+
+    mse5 = float(np.mean((_disp(img5) - _disp(ref5)) ** 2))
+    c6 = {"psnr_db": round(10.0 * np.log10(1.0 / max(mse5, 1e-12)), 1)}
+    assert c6["psnr_db"] > 40.0, c6
+    report["checks"]["tpu_matches_cpu_golden_instanced"] = c6
+
     report["ok"] = True
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "TPU_CHECK.json")
