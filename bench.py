@@ -20,7 +20,10 @@ still isolates configs in subprocesses (process speed regimes differ).
 
 Env knobs:
   BENCH_CONFIG  primary config name (default cornell_sphere; one of
-                cornell_sphere | bunny | glass | instanced | interior)
+                cornell_sphere | bunny | glass | instanced | interior |
+                cornell_deep | interior_deep — the _deep pair runs the
+                reference's default 10-bounce regime,
+                RenderSettings.h:7)
   BENCH_FULL=1  also run every other config and append each to history
   BENCH_RES/BENCH_SPP/BENCH_BOUNCES  override the primary config shape
 """
@@ -51,6 +54,15 @@ def _configs():
             w, h, n_inst=25, subdiv=4), 1280, 720, 1, 4),
         "interior": (lambda w, h: scenes.interior_scene(
             w, h, target_tris=1_000_000), 1920, 1080, 1, 4),
+        # The reference's DEFAULT path depth is 10
+        # (Nexus/src/Renderer/RenderSettings.h:7); configs 1-5 follow
+        # BASELINE.json's 4-6 bounce shapes, these two cover the deep
+        # regime where queue compaction / parking economics flip
+        # (VERDICT r4 #5).
+        "cornell_deep": (lambda w, h: scenes.glass_scene(w, h),
+                         256, 256, 4, 10),
+        "interior_deep": (lambda w, h: scenes.interior_scene(
+            w, h, target_tris=1_000_000), 1920, 1080, 1, 10),
     }
 
 

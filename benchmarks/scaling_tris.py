@@ -106,7 +106,11 @@ def main():
         rec.update({
             "ms": st["min"], "ms_median": st["median"],
             "ms_max": st["max"],
-            "mrays_s": round(n / st["min"] / 1e3, 1),
+            # Headline uses the MEDIAN like bench.py (same-named units
+            # must be cross-file comparable; min overstates throughput
+            # on the drift-prone tunnel). Best-case kept separately.
+            "mrays_s": round(n / st["median"] / 1e3, 1),
+            "mrays_s_best": round(n / st["min"] / 1e3, 1),
             "backend": jax.devices()[0].platform,
             "hit_frac": round(
                 int((np.asarray(outs[key]) >= 0).sum()) / n, 3),

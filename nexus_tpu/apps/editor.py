@@ -21,12 +21,16 @@ as a browser panel over a headless render loop:
     shape-stable, next sample traces the new values; flipping a
     material emissive rebuilds the light tables and recompiles, as
     documented there);
-  - the CAMERA panel edits position / look-at / horizontal FOV, and
-    the page has FLY NAVIGATION: WASD moves in the view plane, Q/E
-    down/up, arrow keys orbit the look-at point (the reference's
-    WASD+mouse camera, Camera.cpp:37-100 / Input.cpp:5-32, as browser
-    keys) — the camera is a traced pytree, so every move re-traces
-    nothing and recompiles nothing;
+  - the CAMERA panel edits position / look-at / horizontal FOV /
+    DEFOCUS ANGLE / FOCUS DISTANCE (the reference's metrics-panel
+    camera sliders, MetricsPanel.cpp:62-85), and the page has FLY
+    NAVIGATION: WASD moves in the view plane, Q/E down/up, arrow keys
+    orbit the look-at point (the reference's WASD+mouse camera,
+    Camera.cpp:37-100 / Input.cpp:5-32, as browser keys) — the camera
+    is a traced pytree, so every move re-traces nothing and recompiles
+    nothing;
+  - SAVE SCREENSHOT writes the current tone-mapped frame to a
+    timestamped PNG on the server host (Renderer.cpp:183-215);
   - RENDER SETTINGS edits path length and the MIS toggle (static jit
     arguments — applying them recompiles once, which the panel warns
     about) plus background intensity (traced, free).
@@ -92,7 +96,10 @@ async function refresh(){
     look <input id=clx value=${s.camera.look[0]}>
     <input id=cly value=${s.camera.look[1]}>
     <input id=clz value=${s.camera.look[2]}>
-    fov <input id=cfov value=${s.camera.fov}>
+    fov <input id=cfov value=${s.camera.fov}><br>
+    defocus° <input id=cdef value=${s.camera.defocus||0}>
+    focus <input id=cfoc value=${s.camera.focus||0}>
+    <label>(0=auto)</label>
     <button onclick=applyCam()>apply</button>
     <span class=warn>(traced: no recompile)</span>`;
   const rs = document.getElementById('rset');
@@ -101,7 +108,9 @@ async function refresh(){
          style="width:auto">
     bg <input id=rbg value=${s.settings.bg}>
     <button onclick=applySettings()>apply</button>
-    <span class=warn>(bounces/MIS recompile once)</span>`;
+    <span class=warn>(bounces/MIS recompile once)</span><br>
+    <button onclick=shot()>save screenshot</button>
+    <span id=shotpath></span>`;
   const mats = document.getElementById('mats');
   for (const m of s.material_props) {
     const d = document.createElement('div'); d.className='mat';
@@ -145,8 +154,13 @@ async function apply(i){
 }
 async function applyCam(){
   const q = new URLSearchParams({px:num('cpx'),py:num('cpy'),pz:num('cpz'),
-    lx:num('clx'),ly:num('cly'),lz:num('clz'),fov:num('cfov')});
+    lx:num('clx'),ly:num('cly'),lz:num('clz'),fov:num('cfov'),
+    defocus:num('cdef')||0,focus:num('cfoc')||0});
   await fetch('/edit_camera?'+q.toString(), {method:'POST'});
+}
+async function shot(){
+  const r = await (await fetch('/screenshot', {method:'POST'})).json();
+  document.getElementById('shotpath').textContent = r.path || r.error;
 }
 async function applyMat(i){
   const q = new URLSearchParams({mat:i,
@@ -225,6 +239,12 @@ class EditorState:
 
     def __init__(self, scene, settings, inst_meta, cam_meta):
         self.lock = threading.Lock()
+        # Serializes whole read-compute-write edit transactions: with
+        # ThreadingHTTPServer two concurrent edits could each snapshot
+        # self.scene, compute, and write back — the later write
+        # silently discarding the earlier edit. self.lock alone only
+        # protected the individual reads/writes.
+        self.edit_lock = threading.Lock()
         self.scene = scene
         self.settings = settings
         self.inst_meta = inst_meta      # [{id, name, t, r, s, mat}]
@@ -269,39 +289,67 @@ class EditorState:
         from nexus_tpu.scene import edit as edit_mod
 
         m = _euler_affine((tx, ty, tz), (rx, ry, rz), s)
-        with self.lock:
-            scene = self.scene
-        scene = edit_mod.set_transform(scene, inst, m)
-        if mat != self.inst_meta[inst]["mat"]:
-            scene = edit_mod.set_material(scene, inst, mat)
-        with self.lock:
-            self.scene = scene
-            self.inst_meta[inst].update(t=[tx, ty, tz], r=[rx, ry, rz],
-                                        s=s, mat=mat)
-            self.epoch += 1             # invalidation: restart accumulation
+        with self.edit_lock:            # one edit transaction at a time
+            with self.lock:
+                scene = self.scene
+            scene = edit_mod.set_transform(scene, inst, m)
+            if mat != self.inst_meta[inst]["mat"]:
+                scene = edit_mod.set_material(scene, inst, mat)
+            with self.lock:
+                self.scene = scene
+                self.inst_meta[inst].update(t=[tx, ty, tz],
+                                            r=[rx, ry, rz], s=s, mat=mat)
+                self.epoch += 1         # invalidation: restart accumulation
 
-    def apply_camera(self, px, py, pz, lx, ly, lz, fov):
+    def apply_camera(self, px, py, pz, lx, ly, lz, fov,
+                     defocus=0.0, focus=0.0):
+        """Camera edit incl. defocus angle (degrees) and focus distance
+        (0 = auto: |look_at - position|) — the reference's metrics-panel
+        camera controls (MetricsPanel.cpp:62-85)."""
         from nexus_tpu.scene.camera import make_camera
 
+        with self.edit_lock:
+            with self.lock:
+                w, h = self.settings.width, self.settings.height
+            cam = make_camera(position=(px, py, pz), look_at=(lx, ly, lz),
+                              hfov_deg=fov, width=w, height=h,
+                              focus_dist=focus if focus > 0 else None,
+                              defocus_angle_deg=defocus)
+            with self.lock:
+                self.scene = self.scene.replace(camera=cam)
+                self.cam_meta = {"pos": [px, py, pz],
+                                 "look": [lx, ly, lz], "fov": fov,
+                                 "defocus": defocus, "focus": focus}
+                self.epoch += 1
+
+    def save_screenshot(self, directory="."):
+        """Write the current accumulated frame to disk as PNG
+        (Renderer.cpp:183-215 SaveScreenshot semantics: tone-mapped
+        display image, timestamped filename). Returns the path."""
+        import os
+        import time as _t
+
         with self.lock:
-            w, h = self.settings.width, self.settings.height
-        cam = make_camera(position=(px, py, pz), look_at=(lx, ly, lz),
-                          hfov_deg=fov, width=w, height=h)
-        with self.lock:
-            self.scene = self.scene.replace(camera=cam)
-            self.cam_meta = {"pos": [px, py, pz], "look": [lx, ly, lz],
-                             "fov": fov}
-            self.epoch += 1
+            png, samples = self.png, self.samples
+        if not png:
+            raise RuntimeError("no frame accumulated yet")
+        path = os.path.join(
+            directory,
+            _t.strftime("screenshot_%Y%m%d_%H%M%S") + f"_{samples}spp.png")
+        with open(path, "wb") as f:
+            f.write(png)
+        return path
 
     def apply_material(self, mat, **props):
         from nexus_tpu.scene import edit as edit_mod
 
-        with self.lock:
-            scene = self.scene
-        scene = edit_mod.set_material_params(scene, mat, **props)
-        with self.lock:
-            self.scene = scene
-            self.epoch += 1
+        with self.edit_lock:
+            with self.lock:
+                scene = self.scene
+            scene = edit_mod.set_material_params(scene, mat, **props)
+            with self.lock:
+                self.scene = scene
+                self.epoch += 1
 
     def apply_settings(self, bounces, mis, bg):
         import dataclasses
@@ -328,12 +376,19 @@ def _render_loop(st: EditorState, batch: int):
     from nexus_tpu.core.tonemap import to_display
     from nexus_tpu.render.wavefront import render_pixels
 
-    fns = {}
+    from collections import OrderedDict
+
+    fns = OrderedDict()     # small LRU: stale settings are rarely
+    #                         revisited, and each cached executable
+    #                         pins device memory for the process life
 
     def fn_for(settings):
         if settings not in fns:
             fns[settings] = jax.jit(
                 lambda s, p, i, _st=settings: render_pixels(s, _st, p, i))
+        fns.move_to_end(settings)
+        while len(fns) > 3:
+            fns.popitem(last=False)
         return fns[settings]
 
     epoch, acc, k = -1, None, 0
@@ -402,7 +457,15 @@ def make_handler(st: EditorState):
                 elif u.path == "/edit_camera":
                     st.apply_camera(*[float(q[k]) for k in
                                       ("px", "py", "pz", "lx", "ly",
-                                       "lz", "fov")])
+                                       "lz", "fov")],
+                                    defocus=float(q.get("defocus", 0)),
+                                    focus=float(q.get("focus", 0)))
+                elif u.path == "/screenshot":
+                    p = st.save_screenshot()
+                    self._send(200, "application/json",
+                               json.dumps({"ok": True,
+                                           "path": p}).encode())
+                    return
                 elif u.path == "/edit_material":
                     st.apply_material(
                         int(q["mat"]),

@@ -47,10 +47,17 @@ def enable_compile_cache(path: str | None = None) -> str:
     """
     import jax
 
-    path = path or os.environ.get(
-        "NEXUS_CACHE_DIR",
-        os.path.join(os.path.expanduser("~"), ".cache", "nexus_tpu",
-                     f"jax-{_host_tag()}"))
+    if path is None:
+        path = os.environ.get("NEXUS_CACHE_DIR")
+    if path is None and os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        # Caching was requested via the JAX env var: keep the user's
+        # location but partition it by host fingerprint (the raw dir
+        # would mix ISA-incompatible XLA:CPU entries across hosts).
+        path = os.path.join(os.environ["JAX_COMPILATION_CACHE_DIR"],
+                            f"host-{_host_tag()}")
+    if path is None:
+        path = os.path.join(os.path.expanduser("~"), ".cache",
+                            "nexus_tpu", f"jax-{_host_tag()}")
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

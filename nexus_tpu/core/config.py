@@ -49,6 +49,15 @@ class RenderSettings:
     # it on for DEEP path lengths (8+) where late bounces are mostly
     # dead, which is where the queue-compaction analog actually pays.
     park_dead_min_tris: int = 0
+    # Trace-queue compaction (render/compact.py): stable-partition pack
+    # the live rays of each trace/shadow queue into dense 128-lane tiles
+    # before the Pallas kernels, moving ONLY the kernel-facing columns
+    # (o, d, t_max — not the path-state pytree). The TPU form of the
+    # reference's wavefront queues (PathTracer.cu:302-306). Default on:
+    # round-4 stage timings showed the interior shadow queue at 17%
+    # occupancy paying 5.4 µs per LIVE ray; see docs/perf.md for the
+    # round-5 A/B.
+    compact_queues: bool = True
 
     def __post_init__(self):
         assert self.path_length >= 1

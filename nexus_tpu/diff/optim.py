@@ -209,6 +209,18 @@ def make_step(settings: RenderSettings, optimizer,
     return jax.jit(step)
 
 
+def _tree_sig(tree) -> str:
+    """Structure signature: treedef string + per-leaf shape/dtype.
+    Saved with checkpoints and validated on load — positional restore
+    after a structural change (different groups, lr schedule, scene
+    shapes) would otherwise fail with an opaque KeyError or silently
+    bind the wrong arrays when shapes happen to coincide."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    shapes = ";".join(f"{tuple(np.shape(a))}:{np.asarray(a).dtype}"
+                      for a in leaves)
+    return f"{treedef}|{shapes}"
+
+
 def save_checkpoint(path: str, step: int, params, opt_state) -> None:
     """Serialize step + params + optimizer state to one npz."""
     leaves_p, treedef_p = jax.tree_util.tree_flatten(params)
@@ -216,15 +228,38 @@ def save_checkpoint(path: str, step: int, params, opt_state) -> None:
     arrays = {f"p{i}": np.asarray(a) for i, a in enumerate(leaves_p)}
     arrays.update({f"o{i}": np.asarray(a) for i, a in enumerate(leaves_o)})
     arrays["step"] = np.asarray(step, np.int64)
+    arrays["sig_p"] = np.asarray(_tree_sig(params))
+    arrays["sig_o"] = np.asarray(_tree_sig(opt_state))
     tmp = path + ".tmp.npz"
     with open(tmp, "wb") as f:
         np.savez(f, **arrays)
     os.replace(tmp, path)   # atomic: resume never sees half a snapshot
 
 
+class CheckpointMismatchError(RuntimeError):
+    """Checkpoint structure does not match the current fit setup."""
+
+
 def load_checkpoint(path: str, params_like, opt_state_like):
-    """Restore (step, params, opt_state); *_like provide structure."""
+    """Restore (step, params, opt_state); *_like provide structure.
+
+    Raises CheckpointMismatchError when the saved tree structure or
+    leaf shapes/dtypes disagree with *_like (e.g. resuming after
+    changing param groups, the optimizer, or scene shapes)."""
     with np.load(path) as z:
+        for key, like, what in (("sig_p", params_like, "params"),
+                                ("sig_o", opt_state_like, "opt_state")):
+            if key in z:        # older checkpoints lack signatures
+                want = _tree_sig(like)
+                got = str(z[key])
+                if got != want:
+                    raise CheckpointMismatchError(
+                        f"checkpoint structure mismatch for {what}: "
+                        f"saved {got!r} but the current fit expects "
+                        f"{want!r} — the checkpoint was written with "
+                        "different param groups, optimizer, or scene "
+                        "shapes; delete it or restore the original "
+                        "configuration")
         leaves_p, treedef_p = jax.tree_util.tree_flatten(params_like)
         leaves_o, treedef_o = jax.tree_util.tree_flatten(opt_state_like)
         params = jax.tree_util.tree_unflatten(

@@ -215,16 +215,59 @@ def _split_big(v0, v1, v2, ids, rel=1 / 24.0, max_rounds=6):
     return ov0, ov1, ov2, lo, hi, ids
 
 
-def _block_tris(v0, v1, v2, plo, phi, gids):
+def _woop_rows(b0, b1, b2):
+    """Per-triangle Woop (inverse-affine) transforms of vertex blocks
+    (nb, CHUNK, 3) -> (nb, 12, CHUNK) coefficient rows.
+
+    W maps world/object space onto the UNIT triangle (v0 -> origin,
+    v1 -> (1,0,0), v2 -> (0,1,0), normal -> +z): with A = [e1 e2 n] as
+    columns, W = A^-1 and the translation is -W v0. Closed form rows:
+    w1 = (e2 x n)/det, w2 = (n x e1)/det, w3 = n/det with
+    det = n.n (n = e1 x e2). Intersection then needs only
+    o' = W o + t, d' = W d — which a 128-wide block turns into three
+    (2R,4)x(4,128) MXU matmuls (`_woop_block`), moving the
+    triangle-test arithmetic off the instruction-issue-bound VPU
+    (docs/perf.md roofline; the TPU analog of ChildTrace's use of the
+    GPU special units, BVH8Traversal.cuh:55-146).
+
+    Rows (matmul-ready, component-major): [w1.xyz t1, w2.xyz t2,
+    w3.xyz t3]. Degenerate (padding) triangles get W = 0 and t3 = 1,
+    so d'z = 0 and o'z = 1 -> t = -inf -> rejected by t > 0.
+    Coefficients are computed in float64 and stored f32."""
+    b0 = b0.astype(np.float64)
+    e1 = b1.astype(np.float64) - b0
+    e2 = b2.astype(np.float64) - b0
+    n = np.cross(e1, e2)
+    det = (n * n).sum(-1)
+    ok = det > 1.0e-30
+    inv = np.where(ok, 1.0 / np.where(ok, det, 1.0), 0.0)[..., None]
+    w1 = np.cross(e2, n) * inv
+    w2 = np.cross(n, e1) * inv
+    w3 = n * inv
+    t1 = -(w1 * b0).sum(-1)
+    t2 = -(w2 * b0).sum(-1)
+    t3 = np.where(ok, -(w3 * b0).sum(-1), 1.0)
+    rows = np.stack([w1[..., 0], w1[..., 1], w1[..., 2], t1,
+                     w2[..., 0], w2[..., 1], w2[..., 2], t2,
+                     w3[..., 0], w3[..., 1], w3[..., 2], t3],
+                    axis=1)
+    return rows.astype(np.float32)
+
+
+def _block_tris(v0, v1, v2, plo, phi, gids, woop=False):
     """Pre-ordered (N,3)x3 verts + (N,3)x2 piece bounds + (N,) GLOBAL
-    tri ids -> ((NB,9,128) blocks, (NB,6) object AABBs, (NB*128,)
+    tri ids -> ((NB,R,128) blocks, (NB,6) object AABBs, (NB*128,)
     to_global). The block AABB is the union of PIECE bounds (tight for
     split outliers, _split_big), while the packed verts are the full
     originals. Padding repeats the last triangle's v0 as a degenerate
     point-triangle (Moller-Trumbore rejects det=0). (An id row DMA'd
     with the block was tried and reverted: the per-intersection id
     select cost more kernel time than the to_global gather it removed —
-    XLA overlaps that gather with kernel execution.)"""
+    XLA overlaps that gather with kernel execution.)
+
+    woop=True swaps the 9 vertex rows for 12 Woop coefficient rows
+    (`_woop_rows`; 13 rows total with the id row) — the MXU-matmul
+    intersection layout."""
     gids = np.asarray(gids, np.int32)
     n = gids.shape[0]
     nb = max((n + CHUNK - 1) // CHUNK, 1)
@@ -237,10 +280,15 @@ def _block_tris(v0, v1, v2, plo, phi, gids):
     to_global = np.concatenate([gids, np.full(pad, gids[-1], np.int32)])
     assert int(gids.max(initial=0)) < (1 << 24), \
         "global tri ids must be exactly representable in f32"
-    idrow = to_global.astype(np.float32).reshape(nb, CHUNK)
-    tri = np.stack([b0[..., 0], b0[..., 1], b0[..., 2],
-                    b1[..., 0], b1[..., 1], b1[..., 2],
-                    b2[..., 0], b2[..., 1], b2[..., 2], idrow], axis=1)
+    idrow = to_global.astype(np.float32).reshape(nb, 1, CHUNK)
+    if woop:
+        tri = np.concatenate([_woop_rows(b0, b1, b2), idrow], axis=1)
+    else:
+        tri = np.concatenate(
+            [np.stack([b0[..., 0], b0[..., 1], b0[..., 2],
+                       b1[..., 0], b1[..., 1], b1[..., 2],
+                       b2[..., 0], b2[..., 1], b2[..., 2]], axis=1),
+             idrow], axis=1)
     # Padding pieces are points — they never widen the union.
     pfill = np.repeat(np.asarray(plo, np.float32)[-1:], pad, axis=0)
     lo = np.concatenate([np.asarray(plo, np.float32),
@@ -307,12 +355,13 @@ def _pack_entries(world_lo, world_hi, ent_block, ent_inst):
             np.concatenate([ent_inst.astype(np.int32), zpad]), ne)
 
 
-def build_blocked_flat(v0, v1, v2, order) -> BlockedScene:
+def build_blocked_flat(v0, v1, v2, order, woop=False) -> BlockedScene:
     """Flat world-space scene: one entry per block, identity instance.
 
     Oversized triangles are subdivided for traversal (see _split_big)
     and the pieces Morton-re-sorted by centroid so blocks stay
-    spatially compact; `order` (the BVH2 DFS order) seeds the id map."""
+    spatially compact; `order` (the BVH2 DFS order) seeds the id map.
+    woop selects the MXU-matmul intersection layout (_woop_rows)."""
     order = np.asarray(order, np.int32)
     v0 = np.asarray(v0, np.float32)[order]
     v1 = np.asarray(v1, np.float32)[order]
@@ -321,7 +370,8 @@ def build_blocked_flat(v0, v1, v2, order) -> BlockedScene:
     perm = np.argsort(_morton3(0.5 * (plo + phi)), kind="stable")
     v0, v1, v2, ids = v0[perm], v1[perm], v2[perm], ids[perm]
     plo, phi = plo[perm], phi[perm]
-    tri, oaabb, to_global = _block_tris(v0, v1, v2, plo, phi, ids)
+    tri, oaabb, to_global = _block_tris(v0, v1, v2, plo, phi, ids,
+                                        woop=woop)
     nb = tri.shape[0]
     ids = np.arange(nb, dtype=np.int32)
     aabb, parent, ent_block, ent_inst, ne = _pack_entries(
@@ -339,7 +389,7 @@ def build_blocked_flat(v0, v1, v2, order) -> BlockedScene:
         n_entries=ne, instanced=False)
 
 
-def build_blocked_tlas(tl) -> BlockedScene:
+def build_blocked_tlas(tl, woop=False) -> BlockedScene:
     """Instanced scene from accel.tlas.TLASArrays: blocks are built once
     per BLAS (object space, shared); entries are (block, instance) pairs
     with world AABBs = the transformed object block AABB corners
@@ -366,7 +416,8 @@ def build_blocked_tlas(tl) -> BlockedScene:
         perm = np.argsort(_morton3(0.5 * (plo + phi)), kind="stable")
         s0, s1, s2, ids = s0[perm], s1[perm], s2[perm], ids[perm]
         plo, phi = plo[perm], phi[perm]
-        tri, oaabb, tg = _block_tris(s0, s1, s2, plo, phi, ids)
+        tri, oaabb, tg = _block_tris(s0, s1, s2, plo, phi, ids,
+                                     woop=woop)
         block_base[b] = nbg
         nbg += tri.shape[0]
         tris.append(tri)
@@ -466,6 +517,39 @@ def _mt_block(buf, s, ox, oy, oz, dx, dy, dz, t_cap):
     v = inv * (dx * qx + dy * qy + dz * qz)
     t = inv * (e1x * qx + e1y * qy + e1z * qz)
     ok = (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0) \
+        & (t > 0.0) & (t < t_cap)
+    return jnp.where(ok, t, MISS_DISTANCE)
+
+
+def _woop_block(buf, s, ox, oy, oz, dx, dy, dz, t_cap):
+    """MXU-matmul triangle test against the 128-lane Woop block in
+    buf[s] (rows from `_woop_rows`): stacking the tile's origins
+    (homogeneous) and directions into one (2R, 4) matrix, the whole
+    per-triangle affine transform becomes three (2R,4)x(4,128)
+    dot_generals — o'/d' per component — leaving only
+    t = -o'z/d'z, u/v madds and compares on the VPU (~28 ops vs ~55
+    for Moller-Trumbore). precision=HIGHEST: hit selection feeds
+    best-t, and the round-4 bf16 MXU-default bug showed f32 exactness
+    must be explicit on TPU."""
+    r = ox.shape[0]
+    one = jnp.ones_like(ox)
+    zero = jnp.zeros_like(ox)
+    a = jnp.concatenate(
+        [jnp.concatenate([ox, oy, oz, one], axis=1),
+         jnp.concatenate([dx, dy, dz, zero], axis=1)], axis=0)
+    dot = lambda w: jax.lax.dot_general(
+        a, w, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+    px = dot(buf[s, 0:4, :])        # (2R, 128): o'x rows then d'x rows
+    py = dot(buf[s, 4:8, :])
+    pz = dot(buf[s, 8:12, :])
+    t = -pz[:r] / pz[r:]
+    u = px[:r] + t * px[r:]
+    v = py[:r] + t * py[r:]
+    # Degenerate/padding blocks have W = 0, t3 = 1 -> t = -inf (or NaN
+    # when o'z = 0 too); both fail the comparisons below.
+    ok = (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) \
         & (t > 0.0) & (t < t_cap)
     return jnp.where(ok, t, MISS_DISTANCE)
 
@@ -651,7 +735,7 @@ def _traverse(instanced, nec, npc, gc, intersect_window,
     jax.lax.while_loop(lambda go: go, outer_body, True)
 
 
-def _closest_kernel(instanced, nec, npc, flight, gc, stats,
+def _closest_kernel(instanced, nec, npc, flight, gc, woop, stats,
                     ent_blk_ref, ent_inst_ref, inv_ref,       # SMEM
                     ray_ref, aabb_ref, parent_ref, tri_hbm,   # VMEM/ANY
                     *rest):
@@ -690,6 +774,9 @@ def _closest_kernel(instanced, nec, npc, flight, gc, stats,
             return pltpu.make_async_copy(tri_hbm.at[b], buf.at[sl],
                                          sem.at[sl])
 
+        idr = 12 if woop else 9      # id row follows the geometry rows
+        isect_fn = _woop_block if woop else _mt_block
+
         def intersect(eid, sl):
             dma(eid, sl).wait()
             if pops_ref is not None:
@@ -698,8 +785,8 @@ def _closest_kernel(instanced, nec, npc, flight, gc, stats,
             tox, toy, toz, tdx, tdy, tdz, inst = _entry_rays(
                 instanced, inv_ref, ent_inst_ref, eid,
                 ox, oy, oz, dx, dy, dz)
-            t = _mt_block(buf, sl, tox, toy, toz,
-                          tdx, tdy, tdz, t_best)
+            t = isect_fn(buf, sl, tox, toy, toz,
+                         tdx, tdy, tdz, t_best)
             t_min = jnp.min(t, axis=1, keepdims=True)
             better = t_min < t_best
             # Winning lane's GLOBAL triangle id from the block's id row
@@ -707,7 +794,7 @@ def _closest_kernel(instanced, nec, npc, flight, gc, stats,
             # host-side to_global gather (which dominated the backward
             # program: 1.9 ms per bounce as a serial 65k-index gather).
             win = t == t_min
-            gid = jnp.max(jnp.where(win, buf[sl, 9:10, :], -1.0),
+            gid = jnp.max(jnp.where(win, buf[sl, idr:idr + 1, :], -1.0),
                           axis=1, keepdims=True)
             t_ref[:] = jnp.where(better, t_min, t_best)
             slot_ref[:] = jnp.where(better, gid.astype(jnp.int32),
@@ -727,7 +814,7 @@ def _closest_kernel(instanced, nec, npc, flight, gc, stats,
                   epar_ref, e_ref, wc_ref, lambda: t_ref[:], pops_ref)
 
 
-def _anyhit_kernel(instanced, nec, npc, flight, gc,
+def _anyhit_kernel(instanced, nec, npc, flight, gc, woop,
                    ent_blk_ref, ent_inst_ref, inv_ref,
                    ray_ref, aabb_ref, parent_ref, tri_hbm,
                    hit_ref,
@@ -752,14 +839,16 @@ def _anyhit_kernel(instanced, nec, npc, flight, gc,
             return pltpu.make_async_copy(tri_hbm.at[b], buf.at[sl],
                                          sem.at[sl])
 
+        isect_fn = _woop_block if woop else _mt_block
+
         def intersect(eid, sl):
             dma(eid, sl).wait()
             tox, toy, toz, tdx, tdy, tdz, _u = _entry_rays(
                 instanced, inv_ref, ent_inst_ref, eid,
                 ox, oy, oz, dx, dy, dz)
             cp = cap()
-            t = _mt_block(buf, sl, tox, toy, toz,
-                          tdx, tdy, tdz, cp)
+            t = isect_fn(buf, sl, tox, toy, toz,
+                         tdx, tdy, tdz, cp)
             hit_ref[:] = hit_ref[:] | jnp.any(
                 t < cp, axis=1, keepdims=True)
 
@@ -805,7 +894,7 @@ def _flight_for(n_entries: int) -> int:
 GC_MAX = 4         # chunks per drain window (see _traverse)
 
 
-def _common_specs(nec, npc, tile_r, flight, gc):
+def _common_specs(nec, npc, tile_r, flight, gc, rows=10):
     smem = [pl.BlockSpec(memory_space=pltpu.SMEM) for _ in range(3)]
     in_specs = smem + [
         pl.BlockSpec((tile_r, 8), lambda i: (i, 0),
@@ -817,7 +906,7 @@ def _common_specs(nec, npc, tile_r, flight, gc):
     scratch = [pltpu.VMEM((tile_r, npc * CHUNK), jnp.float32),
                pltpu.VMEM((tile_r, gc * CHUNK), jnp.float32),
                pltpu.SMEM((gc,), jnp.int32),
-               pltpu.VMEM((2 * flight, 10, CHUNK), jnp.float32),
+               pltpu.VMEM((2 * flight, rows, CHUNK), jnp.float32),
                pltpu.SemaphoreType.DMA((2 * flight,))]
     return in_specs, scratch
 
@@ -836,12 +925,13 @@ def closest_hit_scene(bs: BlockedScene, ray_o, ray_d, interpret=False,
     nec, npc = bs.aabb.shape[0], bs.parent.shape[0]
     flight = flight or _flight_for(bs.n_entries)
     gc = min(GC_MAX, nec)
-    in_specs, scratch = _common_specs(nec, npc, tile_r, flight, gc)
+    rows = bs.tri.shape[1]
+    in_specs, scratch = _common_specs(nec, npc, tile_r, flight, gc, rows)
     col = pl.BlockSpec((tile_r, 1), lambda i: (i, 0),
                        memory_space=pltpu.VMEM)
     t, slot, inst = pl.pallas_call(
         functools.partial(_closest_kernel, bs.instanced, nec, npc,
-                          flight, gc, False),
+                          flight, gc, rows == 13, False),
         grid=(rp // tile_r,),
         in_specs=in_specs,
         out_specs=(col, col, col),
@@ -870,12 +960,13 @@ def closest_hit_stats(bs: BlockedScene, ray_o, ray_d, interpret=False,
     nec, npc = bs.aabb.shape[0], bs.parent.shape[0]
     flight = flight or _flight_for(bs.n_entries)
     gc = min(GC_MAX, nec)
-    in_specs, scratch = _common_specs(nec, npc, tile_r, flight, gc)
+    rows = bs.tri.shape[1]
+    in_specs, scratch = _common_specs(nec, npc, tile_r, flight, gc, rows)
     col = pl.BlockSpec((tile_r, 1), lambda i: (i, 0),
                        memory_space=pltpu.VMEM)
     t, slot, inst, pops = pl.pallas_call(
         functools.partial(_closest_kernel, bs.instanced, nec, npc,
-                          flight, gc, True),
+                          flight, gc, rows == 13, True),
         grid=(rp // tile_r,),
         in_specs=in_specs,
         out_specs=(col, col, col,
@@ -904,10 +995,11 @@ def any_hit_scene(bs: BlockedScene, ray_o, ray_d, t_max, interpret=False,
     nec, npc = bs.aabb.shape[0], bs.parent.shape[0]
     flight = flight or _flight_for(bs.n_entries)
     gc = min(GC_MAX, nec)
-    in_specs, scratch = _common_specs(nec, npc, tile_r, flight, gc)
+    rows = bs.tri.shape[1]
+    in_specs, scratch = _common_specs(nec, npc, tile_r, flight, gc, rows)
     hit = pl.pallas_call(
         functools.partial(_anyhit_kernel, bs.instanced, nec, npc,
-                          flight, gc),
+                          flight, gc, rows == 13),
         grid=(rp // tile_r,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((tile_r, 1), lambda i: (i, 0),

@@ -1,0 +1,135 @@
+"""Trace-queue compaction: dense ray tiles for the Pallas kernels.
+
+The reference's wavefront routes rays through GLOBAL compacted queues so
+every kernel launch covers exactly the live work items
+(Nexus/src/Cuda/PathTracer/PathTracer.cu:302-306 — shadow rays are
+appended to a queue via atomic slots and traced densely). The round-4
+stage timings showed what skipping that costs on TPU: the interior
+bounce-1 shadow pass spent 60 ms tracing 11,160 live rays spread over
+512 fixed 128-lane tiles (17% occupancy) — ~83%-dead tiles still ran
+their slab passes and block pops at 5.4 µs/ray vs 2.2 µs/ray for the
+dense closest queue (benchmarks/results/stage_timings_r04_interior_b1).
+
+This module is the TPU re-expression of that queue: a STABLE partition
+that packs live rays into the head of the lane array so the Pallas
+kernel's fixed 128-lane tiles are dense, while all-dead tail tiles
+early-exit after one parent slab pass (kernels/trace_hbm.py `_traverse`
+finds nothing alive). Three properties make it affordable where the
+round-3/4 full-pytree permutes (`sort_lanes`, `park_dead_min_tris`)
+were not:
+
+  1. Only the KERNEL-FACING columns move (origin, direction, t_max —
+     7 floats), not the 20+-array path-state pytree; results are
+     scattered back through the same index map.
+  2. The index map is a cumsum + one scatter (`_compact_src`), not an
+     argsort — no O(log^2 R) bitonic passes.
+  3. The partition is stable, so live lanes keep their relative Z-order
+     (core/zorder.py) and tile spatial coherence survives compaction.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_PARK_ORIGIN = 1.0e30  # matches trace_hbm._pack_rays invalid threshold
+
+# Occupancy gate for the adaptive wrappers: compacting costs a fixed
+# ~3-6 ms of index maps + payload moves per 65k-lane queue, and only
+# pays when enough whole tiles go dead. Measured (docs/perf.md r5): at
+# 96% occupancy compaction is pure loss (-4%); at 17% it is 1.6x. The
+# per-bounce occupancy trace shows every queue except closest-hit
+# bounce 0-1 sits below ~0.6 by bounce 1, so a 0.85 threshold routes
+# exactly the dense early bounces to the direct path.
+ALIVE_THRESH = 0.85
+
+
+def _alive_frac(live: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean(live.astype(jnp.float32))
+
+
+def compact_src(live: jnp.ndarray):
+    """Stable-partition index maps for a (R,) bool live mask.
+
+    Returns (src, pos):
+      src: (R,) int32 — src[j] = source lane of dense slot j for
+           j < n_live (live lanes in original order), -1 beyond;
+      pos: (R,) int32 — pos[i] = dense slot of lane i (valid where
+           live[i]; arbitrary elsewhere).
+    """
+    r = live.shape[0]
+    pos = jnp.cumsum(live.astype(jnp.int32)) - 1
+    dest = jnp.where(live, pos, r)  # dead lanes scatter out of bounds
+    src = jnp.full((r,), -1, jnp.int32).at[dest].set(
+        jnp.arange(r, dtype=jnp.int32), mode="drop", unique_indices=True)
+    return src, pos
+
+
+def compacted_any_hit(any_hit_fn, ray_o, ray_d, t_max, live):
+    """Occlusion-test only the live lanes, densely packed.
+
+    any_hit_fn(o, d, t_max) -> (R,) bool on full-width arrays; dead
+    dense slots get t_max = 0 (the kernel keeps nothing alive for
+    them). Returns the full-width occlusion mask (False where dead).
+    """
+    src, pos = compact_src(live)
+    srcc = jnp.maximum(src, 0)
+    ok = src >= 0
+    hit_c = any_hit_fn(ray_o[srcc], ray_d[srcc],
+                       jnp.where(ok, t_max[srcc], 0.0))
+    return live & hit_c[jnp.where(live, pos, 0)]
+
+
+def compacted_closest_hit(closest_fn, ray_o, ray_d, live,
+                          miss_t=_PARK_ORIGIN):
+    """Closest-hit only the live lanes, densely packed.
+
+    closest_fn(o, d) -> (t, tri, inst) on full-width arrays; dead dense
+    slots are parked at +1e30 origin (trace_hbm._pack_rays marks them
+    invalid). Returns full-width (t, tri, inst) with t = miss_t,
+    tri = -1, inst = 0 on dead lanes.
+    """
+    src, pos = compact_src(live)
+    srcc = jnp.maximum(src, 0)
+    ok = (src >= 0)[:, None]
+    o_c = jnp.where(ok, ray_o[srcc], _PARK_ORIGIN)
+    d_c = jnp.where(ok, ray_d[srcc], 1.0)
+    t_c, tri_c, inst_c = closest_fn(o_c, d_c)
+    back = jnp.where(live, pos, 0)
+    t = jnp.where(live, t_c[back], miss_t)
+    tri = jnp.where(live, tri_c[back], -1)
+    inst = jnp.where(live, inst_c[back], 0)
+    return t, tri, inst
+
+
+def adaptive_any_hit(any_hit_fn, ray_o, ray_d, t_max, live,
+                     thresh=ALIVE_THRESH):
+    """Occlusion test that compacts only when the queue is sparse
+    enough to pay for the index maps (`ALIVE_THRESH`); dense queues
+    run direct with dead lanes' t_max zeroed. One lax.cond — the
+    predicate is the live fraction, so the choice adapts per bounce
+    inside the fused sample."""
+    return jax.lax.cond(
+        _alive_frac(live) < thresh,
+        lambda: compacted_any_hit(any_hit_fn, ray_o, ray_d, t_max, live),
+        lambda: live & any_hit_fn(ray_o, ray_d,
+                                  jnp.where(live, t_max, 0.0)))
+
+
+def adaptive_closest_hit(closest_fn, ray_o, ray_d, live,
+                         thresh=ALIVE_THRESH):
+    """Closest hit with occupancy-gated compaction (see
+    adaptive_any_hit); the dense path parks dead lanes at +1e30 so
+    the kernel marks them invalid."""
+    def direct():
+        ok = live[:, None]
+        t, tri, inst = closest_fn(jnp.where(ok, ray_o, _PARK_ORIGIN),
+                                  jnp.where(ok, ray_d, 1.0))
+        return (jnp.where(live, t, _PARK_ORIGIN),
+                jnp.where(live, tri, -1),
+                jnp.where(live, inst, 0))
+
+    return jax.lax.cond(
+        _alive_frac(live) < thresh,
+        lambda: compacted_closest_hit(closest_fn, ray_o, ray_d, live),
+        direct)

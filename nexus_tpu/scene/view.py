@@ -50,9 +50,19 @@ def _use_pallas(scene) -> bool:
             and not os.environ.get("NEXUS_NO_PALLAS"))
 
 
-def closest_hit(scene, ray_o, ray_d) -> Intersection:
+def closest_hit(scene, ray_o, ray_d, live=None, compact=True) -> Intersection:
+    """Closest hit over all lanes; `live` (R,) bool marks lanes whose
+    result matters (dead lanes return a miss). On the Pallas path with
+    `compact`, live lanes are stable-partition packed into dense ray
+    tiles before the kernel (render/compact.py — the reference's
+    wavefront queue compaction, PathTracer.cu:302-306); elsewhere dead
+    lanes are parked at +1e30 so traversal skips them."""
     if _use_pallas(scene):
-        return _pallas_closest(scene, ray_o, ray_d)
+        return _pallas_closest(scene, ray_o, ray_d, live=live,
+                               compact=compact)
+    if live is not None:
+        ray_o = jnp.where(live[..., None], ray_o, 1.0e30)
+        ray_d = jnp.where(live[..., None], ray_d, 1.0)
     if scene.bvh8 is not None:       # CWBVH (build(accel="bvh8"))
         from nexus_tpu.accel import traverse8
 
@@ -67,13 +77,24 @@ def closest_hit(scene, ray_o, ray_d) -> Intersection:
     return traverse2.closest_hit(scene.bvh, ray_o, ray_d)
 
 
-def _pallas_closest(scene, ray_o, ray_d, interpret=False) -> Intersection:
+def _pallas_closest(scene, ray_o, ray_d, interpret=False, live=None,
+                    compact=True) -> Intersection:
     from nexus_tpu.geom import triangle as tri_mod
     from nexus_tpu.kernels import trace_hbm as ktrace
+    from nexus_tpu.render.compact import adaptive_closest_hit
 
     bt_s, o_s, d_s = jax.lax.stop_gradient((scene.blocked, ray_o, ray_d))
-    t, tri, inst = ktrace.closest_hit_scene(bt_s, o_s, d_s,
-                                            interpret=interpret)
+    if live is not None and compact:
+        t, tri, inst = adaptive_closest_hit(
+            lambda o, d: ktrace.closest_hit_scene(bt_s, o, d,
+                                                  interpret=interpret),
+            o_s, d_s, live)
+    else:
+        if live is not None:
+            o_s = jnp.where(live[..., None], o_s, 1.0e30)
+            d_s = jnp.where(live[..., None], d_s, 1.0)
+        t, tri, inst = ktrace.closest_hit_scene(bt_s, o_s, d_s,
+                                                interpret=interpret)
     miss = tri < 0
     tri = jnp.maximum(tri, 0)   # global id comes straight from the
     #                             kernel's block id row — no gather
@@ -88,12 +109,25 @@ def _pallas_closest(scene, ray_o, ray_d, interpret=False) -> Intersection:
                         tri_idx=tri, inst_idx=inst)
 
 
-def any_hit(scene, ray_o, ray_d, t_max) -> jnp.ndarray:
+def any_hit(scene, ray_o, ray_d, t_max, live=None,
+            compact=True) -> jnp.ndarray:
+    """Occlusion test; `live` marks lanes that need an answer (dead
+    lanes return False). Pallas + `compact` packs the live shadow rays
+    into dense tiles first (render/compact.py) — the 83%-dead interior
+    shadow tiles of round 4 otherwise walk their blocks at full cost."""
+    if live is not None:
+        t_max = jnp.where(live, t_max, 0.0)
     if _use_pallas(scene):
         from nexus_tpu.kernels import trace_hbm as ktrace
+        from nexus_tpu.render.compact import adaptive_any_hit
 
-        args = jax.lax.stop_gradient((scene.blocked, ray_o, ray_d, t_max))
-        return ktrace.any_hit_scene(*args)
+        bt_s, o_s, d_s, tm_s = jax.lax.stop_gradient(
+            (scene.blocked, ray_o, ray_d, t_max))
+        if live is not None and compact:
+            return adaptive_any_hit(
+                lambda o, d, tm: ktrace.any_hit_scene(bt_s, o, d, tm),
+                o_s, d_s, tm_s, live)
+        return ktrace.any_hit_scene(bt_s, o_s, d_s, tm_s)
     if scene.bvh8 is not None:       # CWBVH (build(accel="bvh8"))
         from nexus_tpu.accel import traverse8
 

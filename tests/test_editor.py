@@ -85,3 +85,29 @@ def test_edit_endpoints(server):
         assert False, "expected 400"
     except urllib.error.HTTPError as e:
         assert e.code == 400
+
+
+def test_camera_defocus_and_screenshot(server, tmp_path):
+    """Defocus/focus camera fields (MetricsPanel.cpp:62-85) and the
+    save-screenshot endpoint (Renderer.cpp:183-215)."""
+    import os
+
+    assert _post(server, "/edit_camera?px=0&py=2&pz=6&lx=0&ly=0&lz=0"
+                         "&fov=48&defocus=2.5&focus=5.0")["ok"]
+    st = json.loads(urllib.request.urlopen(server + "/state",
+                                           timeout=10).read())
+    assert st["camera"]["defocus"] == 2.5
+    assert st["camera"]["focus"] == 5.0
+
+    # wait for a frame under the new camera, then save it
+    deadline = time.time() + 90
+    while time.time() < deadline:
+        s = json.loads(urllib.request.urlopen(server + "/state",
+                                              timeout=10).read())
+        if s["samples"] > 0:
+            break
+        time.sleep(1)
+    r = _post(server, "/screenshot")
+    assert r["ok"] and r["path"].endswith(".png")
+    assert os.path.exists(r["path"]) and os.path.getsize(r["path"]) > 100
+    os.remove(r["path"])

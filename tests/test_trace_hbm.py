@@ -129,3 +129,57 @@ def test_shared_blocks_between_instances(instanced):
     # 5 instances of one 97-tri BLAS: 1 block stored, 5 entries.
     assert bs.n_blocks == 1
     assert bs.n_entries == 5
+
+
+@pytest.fixture(scope="module")
+def flat_woop():
+    v0, v1, v2 = _tri_soup(333)
+    bvh = bvh2.build(v0, v1, v2, leaf_size=4)
+    arrs = traverse2.device_arrays(bvh, v0, v1, v2)
+    bs = trace_hbm.build_blocked_flat(v0, v1, v2, bvh.tri_order,
+                                      woop=True)
+    return arrs, bs
+
+
+def test_woop_flat_closest_matches_bvh2(flat_woop):
+    """MXU Woop-matmul layout (13-row blocks) agrees with the BVH2
+    reference on hits, t and tri ids (same contract as the MT path)."""
+    arrs, bs = flat_woop
+    assert bs.tri.shape[1] == 13
+    o, d = _rays(300)
+    ref = traverse2.closest_hit(arrs, o, d)
+    t, slot, inst = trace_hbm.closest_hit_scene(bs, o, d, interpret=True)
+    slot = np.asarray(slot)
+    ref_t = np.asarray(ref.t)
+    hit = ref_t < 1e29
+    assert ((slot < 0) == ~hit).all()
+    np.testing.assert_allclose(np.asarray(t)[hit], ref_t[hit],
+                               rtol=1e-4, atol=1e-4)
+    assert (np.maximum(slot, 0)[hit] == np.asarray(ref.tri_idx)[hit]).all()
+
+
+def test_woop_flat_anyhit_matches_bvh2(flat_woop):
+    arrs, bs = flat_woop
+    o, d = _rays(260)
+    for tmax in (0.5, 3.0):
+        ref = traverse2.any_hit(arrs, o, d, jnp.full((o.shape[0],), tmax))
+        got = trace_hbm.any_hit_scene(bs, o, d,
+                                      jnp.full((o.shape[0],), tmax),
+                                      interpret=True)
+        assert (np.asarray(got) == np.asarray(ref)).all()
+
+
+def test_woop_instanced_matches_tlas(instanced):
+    tl, _ = instanced
+    bs = trace_hbm.build_blocked_tlas(tl, woop=True)
+    o, d = _rays(300, seed=2)
+    ref = traverse_tlas.closest_hit(tl, o, d)
+    t, slot, inst = trace_hbm.closest_hit_scene(bs, o, d, interpret=True)
+    slot = np.asarray(slot)
+    ref_t = np.asarray(ref.t)
+    hit = ref_t < 1e29
+    assert ((slot < 0) == ~hit).all()
+    np.testing.assert_allclose(np.asarray(t)[hit], ref_t[hit],
+                               rtol=1e-4, atol=1e-4)
+    assert (np.maximum(slot, 0)[hit] == np.asarray(ref.tri_idx)[hit]).all()
+    assert (np.asarray(inst)[hit] == np.asarray(ref.inst_idx)[hit]).all()
