@@ -254,6 +254,8 @@ class EditorState:
         self.epoch = 0                  # bumped by edits
         self.ms_per_sample = 0.0
         self.png = b""
+        self.stop = False               # set by /quit: clean shutdown
+        self.server = None              # ThreadingHTTPServer backref
 
     def _material_props(self):
         m = self.scene.materials
@@ -392,7 +394,9 @@ def _render_loop(st: EditorState, batch: int):
         return fns[settings]
 
     epoch, acc, k = -1, None, 0
-    while True:
+    while not st.stop:      # /quit ends the loop OUTSIDE a jax call —
+        #                     a daemon thread killed mid-dispatch at
+        #                     interpreter exit aborts the process
         with st.lock:
             scene, cur_epoch, settings = st.scene, st.epoch, st.settings
         n = settings.width * settings.height
@@ -479,6 +483,11 @@ def make_handler(st: EditorState):
                 elif u.path == "/edit_settings":
                     st.apply_settings(int(q["bounces"]),
                                       q["mis"] == "1", float(q["bg"]))
+                elif u.path == "/quit":
+                    st.stop = True
+                    if st.server is not None:
+                        threading.Thread(target=st.server.shutdown,
+                                         daemon=True).start()
                 else:
                     self.send_error(404)
                     return
@@ -575,12 +584,15 @@ def main(argv=None) -> int:
                 "fov": cam_kw.get("hfov_deg", 55.0)}
 
     st = EditorState(scene, settings, inst_meta, cam_meta)
-    threading.Thread(target=_render_loop, args=(st, args.batch),
-                     daemon=True).start()
+    render_th = threading.Thread(target=_render_loop,
+                                 args=(st, args.batch), daemon=True)
+    render_th.start()
     srv = ThreadingHTTPServer(("0.0.0.0", args.port), make_handler(st))
+    st.server = srv
     print(f"editor on http://localhost:{args.port} "
           f"({len(inst_meta)} instances)")
     srv.serve_forever()
+    render_th.join(timeout=30)   # let the render loop finish its call
     return 0
 
 

@@ -27,11 +27,31 @@ def add_model(builder: SceneBuilder, path: str | Path) -> list[int]:
         return _add_obj(builder, path)
     if suffix == ".ply":
         return _add_ply(builder, path)
+    if suffix == ".fbx":
+        return _add_fbx(builder, path)
     raise ValueError(
         f"unsupported model format {suffix!r}: supported are .glb/.gltf, "
-        f".obj (+.mtl), .ply. The reference reads fbx/blend/3ds/dae via "
-        f"assimp, which this build does not link — convert to glTF "
+        f".obj (+.mtl), .ply, .fbx (binary, static meshes — io/fbx.py). "
+        f"The reference reads blend/3ds/dae via assimp, which this build "
+        f"does not link — convert to glTF "
         f"(e.g. `assimp export {path.name} {path.stem}.glb`).")
+
+
+def _add_fbx(builder: SceneBuilder, path: Path) -> list[int]:
+    """Binary FBX static meshes (io/fbx.py). FBX materials are not
+    mapped (the subset doc there); each geometry gets one default
+    material — assign via the editor/material API afterwards."""
+    from nexus_tpu.io import fbx
+
+    meshes = fbx.load(path)
+    if not meshes:
+        raise ValueError(f"{path.name}: no triangle geometry found")
+    mat_id = builder.add_material()
+    return [builder.add_mesh(
+        vertices=m.positions, faces=m.faces, material_id=mat_id,
+        transform=m.transform, normals=m.normals, uvs=m.uvs,
+        name=m.name or f"{path.stem}/{k}")
+        for k, m in enumerate(meshes)]
 
 
 def _add_ply(builder: SceneBuilder, path: Path) -> list[int]:

@@ -227,8 +227,13 @@ def _woop_rows(b0, b1, b2):
     o' = W o + t, d' = W d — which a 128-wide block turns into three
     (2R,4)x(4,128) MXU matmuls (`_woop_block`), moving the
     triangle-test arithmetic off the instruction-issue-bound VPU
-    (docs/perf.md roofline; the TPU analog of ChildTrace's use of the
-    GPU special units, BVH8Traversal.cuh:55-146).
+    (the TPU analog of ChildTrace's use of the GPU special units,
+    BVH8Traversal.cuh:55-146). MEASURED NEGATIVE on v5e
+    (benchmarks/ab_woop.py, docs/perf.md round 5): 20-30% slower than
+    the VPU Moller-Trumbore at every scene size — K=4 uses 3% of the
+    MXU systolic depth and f32 exactness (required by the 1e-4 hit-t
+    gates) forces 6 bf16 passes per dot. Kept as the documented
+    negative result + layout option; default builds stay woop=False.
 
     Rows (matmul-ready, component-major): [w1.xyz t1, w2.xyz t2,
     w3.xyz t3]. Degenerate (padding) triangles get W = 0 and t3 = 1,
@@ -537,6 +542,12 @@ def _woop_block(buf, s, ox, oy, oz, dx, dy, dz, t_cap):
     a = jnp.concatenate(
         [jnp.concatenate([ox, oy, oz, one], axis=1),
          jnp.concatenate([dx, dy, dz, zero], axis=1)], axis=0)
+    # Precision note: Mosaic lowers only DEFAULT and HIGHEST dot
+    # precisions; DEFAULT (one bf16 pass) cannot meet the 1e-4 hit-t
+    # gates, so HIGHEST (6 passes) is the only valid choice — and at
+    # K=4 each pass uses 3% of the MXU's systolic depth, which is why
+    # this layout measured SLOWER than the VPU Moller-Trumbore
+    # (docs/perf.md round-5 negative results).
     dot = lambda w: jax.lax.dot_general(
         a, w, (((1,), (0,)), ((), ())),
         precision=jax.lax.Precision.HIGHEST,

@@ -21,7 +21,7 @@ PORT = 8977
 
 
 @pytest.fixture(scope="module")
-def server():
+def server(request):
     from nexus_tpu.apps import editor
 
     th = threading.Thread(
@@ -31,6 +31,19 @@ def server():
         daemon=True)
     th.start()
     base = f"http://localhost:{PORT}"
+
+    def _shutdown():
+        # Clean /quit stops the render loop outside a jax call; a
+        # daemon thread killed mid-dispatch at interpreter exit
+        # aborts the process ("terminate called ...").
+        try:
+            urllib.request.urlopen(urllib.request.Request(
+                base + "/quit", method="POST"), timeout=10)
+            th.join(timeout=60)
+        except Exception:
+            pass
+
+    request.addfinalizer(_shutdown)
     deadline = time.time() + 120
     last = None
     while time.time() < deadline:

@@ -60,10 +60,7 @@ def test_select_inject_roundtrip(cornell):
         optim.select_params(cornell, ("nonsense",))
 
 
-def test_recovery_albedo_and_intensity(cornell, settings):
-    """Recover a perturbed wall albedo AND light intensity to <5%."""
-    target = _target(cornell, settings)
-
+def _perturbed_scene(cornell):
     mats = cornell.materials
     true_albedo = np.asarray(mats.albedo).copy()
     true_intensity = np.asarray(mats.intensity).copy()
@@ -80,13 +77,19 @@ def test_recovery_albedo_and_intensity(cornell, settings):
     perturbed = cornell.replace(materials=mats.replace(
         albedo=jnp.asarray(pert_albedo),
         intensity=jnp.asarray(pert_intensity)))
+    return perturbed, true_albedo, true_intensity, emissive, light_ids
 
+
+def _run_recovery(cornell, settings, steps):
     # Fully correlated sampling (n_samples == cycle == the target's
     # spp): the loss is deterministic with its zero at the true
     # parameters, so Adam can resolve the intensity x albedo valley.
+    target = _target(cornell, settings)
+    (perturbed, true_albedo, true_intensity,
+     emissive, light_ids) = _perturbed_scene(cornell)
     recovered, losses = optim.fit(
         perturbed, settings, target, groups=("materials",),
-        steps=120, lr=4e-2, n_samples=8, sample_offset=1000,
+        steps=steps, lr=4e-2, n_samples=8, sample_offset=1000,
         sample_cycle=8)
 
     assert losses[-1] < losses[0], (losses[0], losses[-1])
@@ -96,10 +99,30 @@ def test_recovery_albedo_and_intensity(cornell, settings):
     # non-emissive) and the light intensity.
     sig = (~emissive) & (true_albedo.max(axis=1) > 0.05)
     alb_err = np.abs(rec_albedo[sig] - true_albedo[sig]).max()
-    int_err = np.abs(rec_intensity[light_ids] - true_intensity[light_ids]) \
+    int_err = np.abs(
+        rec_intensity[light_ids] - true_intensity[light_ids]) \
         / np.maximum(true_intensity[light_ids], 1e-6)
-    assert alb_err < 0.05, f"albedo error {alb_err:.3f} (losses {losses[::20]})"
-    assert int_err.max() < 0.05, f"intensity error {int_err}"
+    return alb_err, float(int_err.max()), losses
+
+
+def test_recovery_converges(cornell, settings):
+    """Default-suite variant: 60 Adam steps must already recover the
+    perturbed albedo/intensity most of the way (perturbation starts at
+    up to ~0.3 absolute albedo error and 1.9x intensity; measured at
+    60 steps: 0.068 / 0.053). The full <5% contract runs in the slow
+    variant below."""
+    alb_err, int_err, losses = _run_recovery(cornell, settings, 60)
+    assert alb_err < 0.10, f"albedo error {alb_err:.3f}"
+    assert int_err < 0.10, f"intensity error {int_err:.3f}"
+
+
+@pytest.mark.slow
+def test_recovery_albedo_and_intensity(cornell, settings):
+    """Recover a perturbed wall albedo AND light intensity to <5%."""
+    alb_err, int_err, losses = _run_recovery(cornell, settings, 120)
+    assert alb_err < 0.05, \
+        f"albedo error {alb_err:.3f} (losses {losses[::20]})"
+    assert int_err < 0.05, f"intensity error {int_err}"
 
 
 def test_checkpoint_resume_bit_identical(cornell, settings, tmp_path):

@@ -237,6 +237,105 @@ def main():
     assert c6["psnr_db"] > 40.0, c6
     report["checks"]["tpu_matches_cpu_golden_instanced"] = c6
 
+    # ---- 983k-tri blocked layout gate (VERDICT r4 #6) ----------------
+    # The round-4 bf16 find proved scale- and backend-specific bugs
+    # evade small-scene gates: a chunk/parent-hierarchy bug that only
+    # manifests at NPC>1 / 10k-block scale would ship green. This gate
+    # runs the REAL 983k interior on the chip:
+    #   - 4096 mixed camera+interior rays: closest-hit vs the CPU
+    #     skip-link traversal (independent implementation, XLA:CPU
+    #     backend in a subprocess — tools/cpu_oracle.py);
+    #   - 128 of them vs float64 brute force over all 983k triangles
+    #     (f64 over the full 4096 costs ~25 min; the CPU-traversal
+    #     oracle covers the rest);
+    #   - a 192x108 TPU render vs the CPU reference render (PSNR).
+    import subprocess
+    import tempfile
+
+    from nexus_tpu.scenes import interior_scene
+
+    big_w, big_h, big_tris = 192, 108, 1_000_000
+    big = interior_scene(big_w, big_h, target_tris=big_tris)
+    nb_pix = big_w * big_h
+    pixb = jnp.arange(nb_pix, dtype=jnp.int32)
+    stateb = rng_mod.init_state(pixb.astype(jnp.uint32), jnp.uint32(0))
+    usb = []
+    for _ in range(4):
+        stateb, u = rng_mod.rand(stateb)
+        usb.append(u)
+    rayb = jax.jit(lambda s, p, u: generate_rays(s.camera, p, u))(
+        big, pixb, jnp.stack(usb, axis=-1))
+    rsel = np.random.default_rng(7).choice(nb_pix, 2048, replace=False)
+    # 2048 camera rays + 2048 random interior rays (bounce-like).
+    rr = np.random.default_rng(8)
+    o2 = rr.uniform(-4.0, 4.0, (2048, 3)).astype(np.float32)
+    d2 = rr.normal(0, 1, (2048, 3)).astype(np.float32)
+    d2 /= np.linalg.norm(d2, axis=1, keepdims=True)
+    ob = np.concatenate([np.asarray(rayb.origin)[rsel], o2])
+    db = np.concatenate([np.asarray(rayb.direction)[rsel], d2])
+
+    tb_d, slotb_d, _ib = K.closest_hit_scene(
+        big.blocked, jnp.asarray(ob), jnp.asarray(db))
+    stb = RenderSettings(width=big_w, height=big_h, path_length=2)
+    imgb_tpu = megakernel.render(big, stb, n_samples=1)
+
+    with tempfile.TemporaryDirectory() as td:
+        rays_npz = os.path.join(td, "rays.npz")
+        out_npz = os.path.join(td, "oracle.npz")
+        np.savez(rays_npz, o=ob, d=db, res_w=big_w, res_h=big_h,
+                 spp=1, bounces=2, target_tris=big_tris)
+        here = os.path.dirname(os.path.abspath(__file__))
+        subprocess.run(
+            [sys.executable, os.path.join(here, "cpu_oracle.py"),
+             rays_npz, out_npz],
+            check=True, timeout=1200,
+            env=dict(os.environ, PYTHONPATH=os.path.dirname(here)))
+        oz = np.load(out_npz)
+        t_ref, tri_ref, img_ref = oz["t"], oz["tri"], oz["img"]
+        assert int(oz["tris"]) == int(big.tri_count)
+
+    t_big = np.asarray(tb_d)
+    slot_big = np.asarray(slotb_d)
+    hit_ref = t_ref < 1e29
+    agree_hit = float(((slot_big >= 0) == hit_ref).mean())
+    relerr = np.abs(t_big[hit_ref] - t_ref[hit_ref]) \
+        / np.maximum(t_ref[hit_ref], 1e-9)
+    tri_agree = float(
+        (np.maximum(slot_big, 0)[hit_ref] == tri_ref[hit_ref]).mean())
+    c7 = {"rays": int(ob.shape[0]), "tris": int(big.tri_count),
+          "blocks": int(big.blocked.n_blocks),
+          "hit_agree": agree_hit,
+          "t_relerr_p999": float(np.quantile(relerr, 0.999)),
+          "tri_agree": tri_agree}
+    # f32 ties near shared edges / split-piece seams may differ between
+    # implementations; demand near-perfect agreement, exact t quantile.
+    assert c7["hit_agree"] >= 0.9995, c7
+    assert c7["t_relerr_p999"] < 1e-4, c7
+    assert c7["tri_agree"] >= 0.999, c7
+    report["checks"]["closest_vs_cpu_oracle_983k"] = c7
+
+    bt7, _ = brute_force(ob[:128].astype(np.float64),
+                         db[:128].astype(np.float64),
+                         np.asarray(big.bvh.v0), np.asarray(big.bvh.v1),
+                         np.asarray(big.bvh.v2), chunk=16)
+    h7 = bt7 < 1e29
+    c8 = {"rays": 128,
+          "hit_agree": float(((slot_big[:128] >= 0) == h7).mean()),
+          "t_relerr_max": float((np.abs(t_big[:128][h7] - bt7[h7])
+                                 / np.maximum(bt7[h7], 1e-9)).max())}
+    assert c8["hit_agree"] == 1.0, c8
+    assert c8["t_relerr_max"] < 1e-4, c8
+    report["checks"]["closest_vs_bruteforce_f64_983k"] = c8
+
+    def _psnr(a, b):
+        mse = float(np.mean((_disp(a) - _disp(b)) ** 2))
+        return round(10.0 * np.log10(1.0 / max(mse, 1e-12)), 1)
+
+    c9 = {"psnr_db": _psnr(np.asarray(imgb_tpu), img_ref),
+          "res": [big_w, big_h]}
+    assert c9["psnr_db"] > 40.0, c9
+    report["checks"]["tpu_matches_cpu_render_983k"] = c9
+
     report["ok"] = True
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "TPU_CHECK.json")
