@@ -21,14 +21,23 @@ import sys
 import tempfile
 
 
+_CONTAINERS = ("%while", "%cond", "%copy-start", "%copy-done")
+
+
 def _aggregate(logdir):
-    """Sum device-plane event durations by (shortened) op name."""
+    """Sum device-plane LEAF op durations by (shortened) op name.
+
+    Containers (%while/%cond) hold their children's time and async copy
+    start/done events span their wait time — summing those double- or
+    wildly over-counts (an early draft attributed 695 ms of a 44 ms
+    program to %copy-start). Kept: '%'-prefixed leaf thunks. The
+    program wall per call is reported separately from the 'jit_' span."""
     from jax.profiler import ProfileData
 
     files = glob.glob(os.path.join(logdir, "**", "*.xplane.pb"),
                       recursive=True)
     agg = collections.Counter()
-    total = 0.0
+    program = 0.0
     for f in files:
         pd = ProfileData.from_file(f)
         for plane in pd.planes:
@@ -41,9 +50,15 @@ def _aggregate(logdir):
                 for ev in line.events:
                     dur = ev.duration_ns / 1e6
                     name = ev.name.split(".")[0][:60]
+                    if name.startswith("jit_"):
+                        program += dur
+                        continue
+                    if not name.startswith("%"):
+                        continue
+                    if any(name.startswith(c) for c in _CONTAINERS):
+                        continue
                     agg[name] += dur
-                    total += dur
-    return agg, total
+    return agg, program
 
 
 def main():

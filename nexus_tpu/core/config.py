@@ -58,6 +58,15 @@ class RenderSettings:
     # occupancy paying 5.4 µs per LIVE ray; see docs/perf.md for the
     # round-5 A/B.
     compact_queues: bool = True
+    # Rematerialized backward (jax.checkpoint on the bounce body with
+    # save_only_these_names('trace')): the reverse pass recomputes the
+    # cheap fusible shade math from the SAVED trace-kernel results
+    # instead of stacking ~100 intermediates per bounce into scan
+    # residuals — the top backward sink in the round-5 glass profile
+    # (dynamic_update_slice/slice pairs, docs/perf.md). The trace
+    # kernels themselves are never re-run (their outputs are the named
+    # saves). Default set by measurement (benchmarks/ab_bwd.py).
+    remat_bounce: bool = True
 
     def __post_init__(self):
         assert self.path_length >= 1

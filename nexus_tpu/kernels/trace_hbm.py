@@ -138,6 +138,16 @@ class BlockedScene:
     #                         entry world AABBs without a host rebuild)
     n_entries: int = flax.struct.field(pytree_node=False, default=0)
     instanced: bool = flax.struct.field(pytree_node=False, default=False)
+    # Blocks DMA'd + intersected per entry pop (static). Round-5 tile
+    # sweep fit per-pop cost = 0.79 us FIXED (DMA wait + loop overhead)
+    # + 0.21 us of (R,128) VPU work at R=128 — the kernel is
+    # fixed-cost-per-pop bound, so big scenes pop PAIRS of consecutive
+    # Morton blocks per DMA (one contiguous copy, 2 masked MT passes):
+    # ~35-45%% fewer pops for ~2x the cheap variable part. Entry AABBs
+    # are the union of the member blocks. Auto: 2 when the scene has
+    # >= _PAIR_MIN_BLOCKS blocks, else 1 (docs/perf.md round-5 A/B).
+    blocks_per_entry: int = flax.struct.field(pytree_node=False,
+                                              default=1)
 
     @property
     def n_blocks(self) -> int:
@@ -360,7 +370,37 @@ def _pack_entries(world_lo, world_hi, ent_block, ent_inst):
             np.concatenate([ent_inst.astype(np.int32), zpad]), ne)
 
 
-def build_blocked_flat(v0, v1, v2, order, woop=False) -> BlockedScene:
+_PAIR_MIN_BLOCKS = 1024   # >= this many blocks -> 2 blocks per entry
+#                           (pair pops; see BlockedScene.blocks_per_entry)
+
+
+def _pad_blocks(tri, oaabb, to_global, bpe):
+    """Pad the block count to a multiple of `bpe` by REPEATING the last
+    block: duplicated triangles return the identical t and gid, so
+    closest/any-hit semantics are unchanged, and no special padding
+    case exists in the kernel."""
+    nb = tri.shape[0]
+    pad = (-nb) % bpe
+    if pad:
+        tri = np.concatenate([tri, np.repeat(tri[-1:], pad, axis=0)])
+        oaabb = np.concatenate([oaabb,
+                                np.repeat(oaabb[-1:], pad, axis=0)])
+        to_global = np.concatenate(
+            [to_global, np.tile(to_global[-CHUNK:], pad)])
+    return tri, oaabb, to_global
+
+
+def _group_entries(oaabb, bpe):
+    """(NB, 6) block AABBs -> per-entry (first block id, union lo/hi)."""
+    nb = oaabb.shape[0]
+    ids = np.arange(0, nb, bpe, dtype=np.int32)
+    lo = oaabb[:, :3].reshape(-1, bpe, 3).min(axis=1).astype(np.float32)
+    hi = oaabb[:, 3:].reshape(-1, bpe, 3).max(axis=1).astype(np.float32)
+    return ids, lo, hi
+
+
+def build_blocked_flat(v0, v1, v2, order, woop=False,
+                       blocks_per_entry=None) -> BlockedScene:
     """Flat world-space scene: one entry per block, identity instance.
 
     Oversized triangles are subdivided for traversal (see _split_big)
@@ -377,11 +417,12 @@ def build_blocked_flat(v0, v1, v2, order, woop=False) -> BlockedScene:
     plo, phi = plo[perm], phi[perm]
     tri, oaabb, to_global = _block_tris(v0, v1, v2, plo, phi, ids,
                                         woop=woop)
-    nb = tri.shape[0]
-    ids = np.arange(nb, dtype=np.int32)
+    bpe = blocks_per_entry or (
+        2 if tri.shape[0] >= _PAIR_MIN_BLOCKS else 1)
+    tri, oaabb, to_global = _pad_blocks(tri, oaabb, to_global, bpe)
+    ids, ent_lo, ent_hi = _group_entries(oaabb, bpe)
     aabb, parent, ent_block, ent_inst, ne = _pack_entries(
-        oaabb[:, :3].astype(np.float32), oaabb[:, 3:].astype(np.float32),
-        ids, np.zeros(nb, np.int32))
+        ent_lo, ent_hi, ids, np.zeros(ids.shape[0], np.int32))
     eye = np.concatenate([np.eye(3, dtype=np.float32),
                           np.zeros((3, 1), np.float32)], axis=1)
     return BlockedScene(
@@ -391,10 +432,10 @@ def build_blocked_flat(v0, v1, v2, order, woop=False) -> BlockedScene:
         inst_inv=jnp.asarray(eye.reshape(1, 12)),
         to_global=jnp.asarray(to_global),
         obj_aabb=jnp.asarray(oaabb.astype(np.float32)),
-        n_entries=ne, instanced=False)
+        n_entries=ne, instanced=False, blocks_per_entry=bpe)
 
 
-def build_blocked_tlas(tl, woop=False) -> BlockedScene:
+def build_blocked_tlas(tl, woop=False, blocks_per_entry=None) -> BlockedScene:
     """Instanced scene from accel.tlas.TLASArrays: blocks are built once
     per BLAS (object space, shared); entries are (block, instance) pairs
     with world AABBs = the transformed object block AABB corners
@@ -409,9 +450,11 @@ def build_blocked_tlas(tl, woop=False) -> BlockedScene:
     v2 = np.asarray(tl.v2)
 
     # Per-BLAS block arrays (object space), shared across instances.
+    # Each BLAS is padded to a blocks_per_entry multiple so entry
+    # groups never straddle BLAS boundaries.
     blas_ids = sorted(set(int(b) for b in inst_blas))
-    block_base, tris, oaabbs, to_globals = {}, [], [], []
-    nbg = 0
+    total_blocks = 0
+    prepared = {}
     for b in blas_ids:
         i = int(np.nonzero(inst_blas == b)[0][0])
         off, nt = int(inst_off[i]), int(inst_ntris[i])
@@ -421,29 +464,35 @@ def build_blocked_tlas(tl, woop=False) -> BlockedScene:
         perm = np.argsort(_morton3(0.5 * (plo + phi)), kind="stable")
         s0, s1, s2, ids = s0[perm], s1[perm], s2[perm], ids[perm]
         plo, phi = plo[perm], phi[perm]
-        tri, oaabb, tg = _block_tris(s0, s1, s2, plo, phi, ids,
-                                     woop=woop)
+        prepared[b] = _block_tris(s0, s1, s2, plo, phi, ids, woop=woop)
+        total_blocks += prepared[b][0].shape[0]
+    bpe = blocks_per_entry or (
+        2 if total_blocks >= _PAIR_MIN_BLOCKS else 1)
+
+    block_base, tris, oaabbs, to_globals = {}, [], [], []
+    nbg = 0
+    for b in blas_ids:
+        tri, oaabb, tg = _pad_blocks(*prepared[b], bpe)
         block_base[b] = nbg
         nbg += tri.shape[0]
         tris.append(tri)
         oaabbs.append(oaabb)
         to_globals.append(tg)
 
-    # Entries: every (instance, block-of-its-BLAS) pair.
+    # Entries: every (instance, block-group-of-its-BLAS) pair.
     ent_block, ent_inst, wlo, whi = [], [], [], []
     for i in range(inst_blas.shape[0]):
         b = int(inst_blas[i])
         oa = oaabbs[blas_ids.index(b)]
-        lo, hi = oa[:, :3], oa[:, 3:]
-        # 8 corners of each block box through the instance transform.
+        gids, glo, ghi = _group_entries(oa, bpe)
+        # 8 corners of each group box through the instance transform.
         m = inst_m[i]
         corners = np.stack([np.where(
-            np.array([(k >> a) & 1 for a in range(3)], bool), hi, lo)
-            for k in range(8)], axis=1)             # (nb, 8, 3)
+            np.array([(k >> a) & 1 for a in range(3)], bool), ghi, glo)
+            for k in range(8)], axis=1)             # (ng, 8, 3)
         w = corners @ m[:, :3].T + m[:, 3]
-        nb = oa.shape[0]
-        ent_block.append(np.arange(nb, dtype=np.int32) + block_base[b])
-        ent_inst.append(np.full(nb, i, np.int32))
+        ent_block.append(gids + block_base[b])
+        ent_inst.append(np.full(gids.shape[0], i, np.int32))
         wlo.append(w.min(axis=1).astype(np.float32))
         whi.append(w.max(axis=1).astype(np.float32))
 
@@ -458,7 +507,7 @@ def build_blocked_tlas(tl, woop=False) -> BlockedScene:
         to_global=jnp.asarray(np.concatenate(to_globals)),
         obj_aabb=jnp.asarray(
             np.concatenate(oaabbs).astype(np.float32)),
-        n_entries=ne, instanced=True)
+        n_entries=ne, instanced=True, blocks_per_entry=bpe)
 
 
 # --------------------------------------------------------------------------
@@ -493,20 +542,21 @@ def _slab_row(lo, hi, o, inv, valid_col):
     return jnp.where(ok, tmin, _INF)
 
 
-def _mt_block(buf, s, ox, oy, oz, dx, dy, dz, t_cap):
+def _mt_block(buf, s, j, ox, oy, oz, dx, dy, dz, t_cap):
     """Masked Moller-Trumbore: (TILE_R, 1) ray columns vs the 128-lane
-    triangle block in buf[s] -> (TILE_R, CHUNK) t (miss = MISS_DISTANCE).
-    (D_Triangle::Trace semantics, Nexus/src/Cuda/Geometry/Triangle.cuh:
-    53-87; degenerate padding triangles yield det=0 -> rejected.)"""
-    ax = buf[s, 0:1, :]
-    ay = buf[s, 1:2, :]
-    az = buf[s, 2:3, :]
-    e0x = buf[s, 3:4, :] - ax
-    e0y = buf[s, 4:5, :] - ay
-    e0z = buf[s, 5:6, :] - az
-    e1x = buf[s, 6:7, :] - ax
-    e1y = buf[s, 7:8, :] - ay
-    e1z = buf[s, 8:9, :] - az
+    triangle block in buf[s, j] -> (TILE_R, CHUNK) t (miss =
+    MISS_DISTANCE). (D_Triangle::Trace semantics,
+    Nexus/src/Cuda/Geometry/Triangle.cuh:53-87; degenerate padding
+    triangles yield det=0 -> rejected.)"""
+    ax = buf[s, j, 0:1, :]
+    ay = buf[s, j, 1:2, :]
+    az = buf[s, j, 2:3, :]
+    e0x = buf[s, j, 3:4, :] - ax
+    e0y = buf[s, j, 4:5, :] - ay
+    e0z = buf[s, j, 5:6, :] - az
+    e1x = buf[s, j, 6:7, :] - ax
+    e1y = buf[s, j, 7:8, :] - ay
+    e1z = buf[s, j, 8:9, :] - az
     px = dy * e1z - dz * e1y
     py = dz * e1x - dx * e1z
     pz = dx * e1y - dy * e1x
@@ -526,7 +576,7 @@ def _mt_block(buf, s, ox, oy, oz, dx, dy, dz, t_cap):
     return jnp.where(ok, t, MISS_DISTANCE)
 
 
-def _woop_block(buf, s, ox, oy, oz, dx, dy, dz, t_cap):
+def _woop_block(buf, s, j, ox, oy, oz, dx, dy, dz, t_cap):
     """MXU-matmul triangle test against the 128-lane Woop block in
     buf[s] (rows from `_woop_rows`): stacking the tile's origins
     (homogeneous) and directions into one (2R, 4) matrix, the whole
@@ -552,9 +602,9 @@ def _woop_block(buf, s, ox, oy, oz, dx, dy, dz, t_cap):
         a, w, (((1,), (0,)), ((), ())),
         precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32)
-    px = dot(buf[s, 0:4, :])        # (2R, 128): o'x rows then d'x rows
-    py = dot(buf[s, 4:8, :])
-    pz = dot(buf[s, 8:12, :])
+    px = dot(buf[s, j, 0:4, :])     # (2R, 128): o'x rows then d'x rows
+    py = dot(buf[s, j, 4:8, :])
+    pz = dot(buf[s, j, 8:12, :])
     t = -pz[:r] / pz[r:]
     u = px[:r] + t * px[r:]
     v = py[:r] + t * py[r:]
@@ -746,7 +796,7 @@ def _traverse(instanced, nec, npc, gc, intersect_window,
     jax.lax.while_loop(lambda go: go, outer_body, True)
 
 
-def _closest_kernel(instanced, nec, npc, flight, gc, woop, stats,
+def _closest_kernel(instanced, nec, npc, flight, gc, woop, bpe, stats,
                     ent_blk_ref, ent_inst_ref, inv_ref,       # SMEM
                     ray_ref, aabb_ref, parent_ref, tri_hbm,   # VMEM/ANY
                     *rest):
@@ -782,8 +832,8 @@ def _closest_kernel(instanced, nec, npc, flight, gc, woop, stats,
 
         def dma(e, sl):
             b = ent_blk_ref[e]
-            return pltpu.make_async_copy(tri_hbm.at[b], buf.at[sl],
-                                         sem.at[sl])
+            return pltpu.make_async_copy(tri_hbm.at[pl.ds(b, bpe)],
+                                         buf.at[sl], sem.at[sl])
 
         idr = 12 if woop else 9      # id row follows the geometry rows
         isect_fn = _woop_block if woop else _mt_block
@@ -792,26 +842,29 @@ def _closest_kernel(instanced, nec, npc, flight, gc, woop, stats,
             dma(eid, sl).wait()
             if pops_ref is not None:
                 pops_ref[0, 1] += 1
-            t_best = t_ref[:]
             tox, toy, toz, tdx, tdy, tdz, inst = _entry_rays(
                 instanced, inv_ref, ent_inst_ref, eid,
                 ox, oy, oz, dx, dy, dz)
-            t = isect_fn(buf, sl, tox, toy, toz,
-                         tdx, tdy, tdz, t_best)
-            t_min = jnp.min(t, axis=1, keepdims=True)
-            better = t_min < t_best
-            # Winning lane's GLOBAL triangle id from the block's id row
-            # (exact-f32): a masked one-lane reduce replaces the
-            # host-side to_global gather (which dominated the backward
-            # program: 1.9 ms per bounce as a serial 65k-index gather).
-            win = t == t_min
-            gid = jnp.max(jnp.where(win, buf[sl, idr:idr + 1, :], -1.0),
-                          axis=1, keepdims=True)
-            t_ref[:] = jnp.where(better, t_min, t_best)
-            slot_ref[:] = jnp.where(better, gid.astype(jnp.int32),
-                                    slot_ref[:])
-            if instanced:
-                inst_ref[:] = jnp.where(better, inst, inst_ref[:])
+            for j in range(bpe):   # static unroll over member blocks;
+                #                    best-t tightens between halves
+                t_best = t_ref[:]
+                t = isect_fn(buf, sl, j, tox, toy, toz,
+                             tdx, tdy, tdz, t_best)
+                t_min = jnp.min(t, axis=1, keepdims=True)
+                better = t_min < t_best
+                # Winning lane's GLOBAL triangle id from the block's id
+                # row (exact-f32): a masked one-lane reduce replaces the
+                # host-side to_global gather (which dominated the
+                # backward program: 1.9 ms/bounce as a serial gather).
+                win = t == t_min
+                gid = jnp.max(
+                    jnp.where(win, buf[sl, j, idr:idr + 1, :], -1.0),
+                    axis=1, keepdims=True)
+                t_ref[:] = jnp.where(better, t_min, t_best)
+                slot_ref[:] = jnp.where(better, gid.astype(jnp.int32),
+                                        slot_ref[:])
+                if instanced:
+                    inst_ref[:] = jnp.where(better, inst, inst_ref[:])
 
         def intersect_window():
             _pipelined_pops(
@@ -825,7 +878,7 @@ def _closest_kernel(instanced, nec, npc, flight, gc, woop, stats,
                   epar_ref, e_ref, wc_ref, lambda: t_ref[:], pops_ref)
 
 
-def _anyhit_kernel(instanced, nec, npc, flight, gc, woop,
+def _anyhit_kernel(instanced, nec, npc, flight, gc, woop, bpe,
                    ent_blk_ref, ent_inst_ref, inv_ref,
                    ray_ref, aabb_ref, parent_ref, tri_hbm,
                    hit_ref,
@@ -847,8 +900,8 @@ def _anyhit_kernel(instanced, nec, npc, flight, gc, woop,
 
         def dma(e, sl):
             b = ent_blk_ref[e]
-            return pltpu.make_async_copy(tri_hbm.at[b], buf.at[sl],
-                                         sem.at[sl])
+            return pltpu.make_async_copy(tri_hbm.at[pl.ds(b, bpe)],
+                                         buf.at[sl], sem.at[sl])
 
         isect_fn = _woop_block if woop else _mt_block
 
@@ -857,11 +910,12 @@ def _anyhit_kernel(instanced, nec, npc, flight, gc, woop,
             tox, toy, toz, tdx, tdy, tdz, _u = _entry_rays(
                 instanced, inv_ref, ent_inst_ref, eid,
                 ox, oy, oz, dx, dy, dz)
-            cp = cap()
-            t = isect_fn(buf, sl, tox, toy, toz,
-                         tdx, tdy, tdz, cp)
-            hit_ref[:] = hit_ref[:] | jnp.any(
-                t < cp, axis=1, keepdims=True)
+            for j in range(bpe):
+                cp = cap()
+                t = isect_fn(buf, sl, j, tox, toy, toz,
+                             tdx, tdy, tdz, cp)
+                hit_ref[:] = hit_ref[:] | jnp.any(
+                    t < cp, axis=1, keepdims=True)
 
         def intersect_window():
             _pipelined_pops(
@@ -905,7 +959,7 @@ def _flight_for(n_entries: int) -> int:
 GC_MAX = 4         # chunks per drain window (see _traverse)
 
 
-def _common_specs(nec, npc, tile_r, flight, gc, rows=10):
+def _common_specs(nec, npc, tile_r, flight, gc, rows=10, bpe=1):
     smem = [pl.BlockSpec(memory_space=pltpu.SMEM) for _ in range(3)]
     in_specs = smem + [
         pl.BlockSpec((tile_r, 8), lambda i: (i, 0),
@@ -917,7 +971,7 @@ def _common_specs(nec, npc, tile_r, flight, gc, rows=10):
     scratch = [pltpu.VMEM((tile_r, npc * CHUNK), jnp.float32),
                pltpu.VMEM((tile_r, gc * CHUNK), jnp.float32),
                pltpu.SMEM((gc,), jnp.int32),
-               pltpu.VMEM((2 * flight, rows, CHUNK), jnp.float32),
+               pltpu.VMEM((2 * flight, bpe, rows, CHUNK), jnp.float32),
                pltpu.SemaphoreType.DMA((2 * flight,))]
     return in_specs, scratch
 
@@ -937,12 +991,14 @@ def closest_hit_scene(bs: BlockedScene, ray_o, ray_d, interpret=False,
     flight = flight or _flight_for(bs.n_entries)
     gc = min(GC_MAX, nec)
     rows = bs.tri.shape[1]
-    in_specs, scratch = _common_specs(nec, npc, tile_r, flight, gc, rows)
+    bpe = bs.blocks_per_entry
+    in_specs, scratch = _common_specs(nec, npc, tile_r, flight, gc,
+                                      rows, bpe)
     col = pl.BlockSpec((tile_r, 1), lambda i: (i, 0),
                        memory_space=pltpu.VMEM)
     t, slot, inst = pl.pallas_call(
         functools.partial(_closest_kernel, bs.instanced, nec, npc,
-                          flight, gc, rows == 13, False),
+                          flight, gc, rows == 13, bpe, False),
         grid=(rp // tile_r,),
         in_specs=in_specs,
         out_specs=(col, col, col),
@@ -972,12 +1028,14 @@ def closest_hit_stats(bs: BlockedScene, ray_o, ray_d, interpret=False,
     flight = flight or _flight_for(bs.n_entries)
     gc = min(GC_MAX, nec)
     rows = bs.tri.shape[1]
-    in_specs, scratch = _common_specs(nec, npc, tile_r, flight, gc, rows)
+    bpe = bs.blocks_per_entry
+    in_specs, scratch = _common_specs(nec, npc, tile_r, flight, gc,
+                                      rows, bpe)
     col = pl.BlockSpec((tile_r, 1), lambda i: (i, 0),
                        memory_space=pltpu.VMEM)
     t, slot, inst, pops = pl.pallas_call(
         functools.partial(_closest_kernel, bs.instanced, nec, npc,
-                          flight, gc, rows == 13, True),
+                          flight, gc, rows == 13, bpe, True),
         grid=(rp // tile_r,),
         in_specs=in_specs,
         out_specs=(col, col, col,
@@ -1007,10 +1065,12 @@ def any_hit_scene(bs: BlockedScene, ray_o, ray_d, t_max, interpret=False,
     flight = flight or _flight_for(bs.n_entries)
     gc = min(GC_MAX, nec)
     rows = bs.tri.shape[1]
-    in_specs, scratch = _common_specs(nec, npc, tile_r, flight, gc, rows)
+    bpe = bs.blocks_per_entry
+    in_specs, scratch = _common_specs(nec, npc, tile_r, flight, gc,
+                                      rows, bpe)
     hit = pl.pallas_call(
         functools.partial(_anyhit_kernel, bs.instanced, nec, npc,
-                          flight, gc, rows == 13),
+                          flight, gc, rows == 13, bpe),
         grid=(rp // tile_r,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((tile_r, 1), lambda i: (i, 0),

@@ -58,6 +58,18 @@ from nexus_tpu.scene.scene import SceneData
 _LAST_PDF_INIT = 1.0e10  # first emissive hit gets MIS weight ≈ 1 (PathTracer.cu:118)
 
 
+def _maybe_remat(body, settings: RenderSettings):
+    """settings.remat_bounce: checkpoint each scan step saving ONLY the
+    named trace-kernel outputs (scene/view.py checkpoint_name) — the
+    reverse pass recomputes the fusible shade/NEE math per bounce
+    instead of materializing every intermediate into scan residuals
+    (the round-5 glass backward profile's top sink; docs/perf.md)."""
+    if not settings.remat_bounce:
+        return body
+    policy = jax.checkpoint_policies.save_only_these_names("trace")
+    return jax.checkpoint(body, policy=policy)
+
+
 @flax.struct.dataclass
 class _PathState:
     """Per-lane path state (D_PathStateSOA analog, PathTracer.cuh:19-29)."""
@@ -352,7 +364,8 @@ def render_pixels(scene: SceneData, settings: RenderSettings,
     def body(ps, bounce_idx):
         return _bounce(scene, settings, ps, bounce_idx), None
 
-    ps, _ = lax.scan(body, ps, jnp.arange(settings.path_length))
+    ps, _ = lax.scan(_maybe_remat(body, settings), ps,
+                     jnp.arange(settings.path_length))
     return ps.radiance
 
 

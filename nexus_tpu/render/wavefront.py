@@ -47,7 +47,8 @@ import jax.numpy as jnp
 
 from nexus_tpu.core import rng
 from nexus_tpu.core.config import RenderSettings
-from nexus_tpu.render.megakernel import _LAST_PDF_INIT, _bounce, _PathState
+from nexus_tpu.render.megakernel import (_LAST_PDF_INIT, _bounce,
+                                         _maybe_remat, _PathState)
 from nexus_tpu.scene.camera import generate_rays
 from nexus_tpu.scene.scene import SceneData
 
@@ -115,7 +116,8 @@ def render_pixels(scene: SceneData, settings: RenderSettings,
         return (ps, lane_pix), None
 
     (ps, lane_pix), _ = jax.lax.scan(
-        body, (ps, lane_pix), jnp.arange(settings.path_length))
+        _maybe_remat(body, settings), (ps, lane_pix),
+        jnp.arange(settings.path_length))
 
     # Unsort: one scatter back to pixel order.
     out = jnp.zeros((n, 3), jnp.float32)

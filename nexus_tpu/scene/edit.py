@@ -121,9 +121,15 @@ def set_transform(scene: SceneData, inst_id: int, m) -> SceneData:
         ne = bs.ent_block.shape[0]
         lane_valid = jnp.arange(ne) < bs.n_entries
         sel = (bs.ent_inst == inst_id) & lane_valid
+        # Entry = a group of blocks_per_entry consecutive blocks; its
+        # object AABB is the union of the member blocks' AABBs.
         obj = bs.obj_aabb[bs.ent_block]                   # (NE, 6)
-        nlo, nhi = _world_corners(obj[:, :3], obj[:, 3:],
-                                  jnp.asarray(m34))
+        olo, ohi = obj[:, :3], obj[:, 3:]
+        for j in range(1, bs.blocks_per_entry):
+            nxt = bs.obj_aabb[bs.ent_block + j]
+            olo = jnp.minimum(olo, nxt[:, :3])
+            ohi = jnp.maximum(ohi, nxt[:, 3:])
+        nlo, nhi = _world_corners(olo, ohi, jnp.asarray(m34))
         # Current lo/hi out of the (NEC, 8, 128) chunk layout.
         nec = bs.aabb.shape[0]
         cur = bs.aabb.transpose(0, 2, 1).reshape(nec * CHUNK, 8)

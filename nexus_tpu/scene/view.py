@@ -66,15 +66,24 @@ def closest_hit(scene, ray_o, ray_d, live=None, compact=True) -> Intersection:
     if scene.bvh8 is not None:       # CWBVH (build(accel="bvh8"))
         from nexus_tpu.accel import traverse8
 
-        return traverse8.closest_hit(scene.bvh8, ray_o, ray_d)
-    if scene.links_hit is not None:  # stackless skip-link fast path
+        out = traverse8.closest_hit(scene.bvh8, ray_o, ray_d)
+    elif scene.links_hit is not None:  # stackless skip-link fast path
         if scene.is_instanced:
-            return traverse_links.closest_hit_tlas(_linked(scene),
-                                                   ray_o, ray_d)
-        return traverse_links.closest_hit(_linked(scene), ray_o, ray_d)
-    if scene.is_instanced:
-        return traverse_tlas.closest_hit(scene.tlas, ray_o, ray_d)
-    return traverse2.closest_hit(scene.bvh, ray_o, ray_d)
+            out = traverse_links.closest_hit_tlas(_linked(scene),
+                                                  ray_o, ray_d)
+        else:
+            out = traverse_links.closest_hit(_linked(scene), ray_o,
+                                             ray_d)
+    elif scene.is_instanced:
+        out = traverse_tlas.closest_hit(scene.tlas, ray_o, ray_d)
+    else:
+        out = traverse2.closest_hit(scene.bvh, ray_o, ray_d)
+    # Named trace saves (see _pallas_closest): the remat_bounce policy
+    # must never re-run a traversal While loop in the reverse pass —
+    # on any backend.
+    from jax.ad_checkpoint import checkpoint_name
+
+    return jax.tree.map(lambda a: checkpoint_name(a, "trace"), out)
 
 
 def _pallas_closest(scene, ray_o, ray_d, interpret=False, live=None,
@@ -95,6 +104,16 @@ def _pallas_closest(scene, ray_o, ray_d, interpret=False, live=None,
             d_s = jnp.where(live[..., None], d_s, 1.0)
         t, tri, inst = ktrace.closest_hit_scene(bt_s, o_s, d_s,
                                                 interpret=interpret)
+    # Named so RenderSettings.remat_bounce's checkpoint policy can save
+    # EXACTLY the trace results and recompute the (cheap, fusible)
+    # shade math in the reverse pass — the backward profile showed the
+    # scan's ~100-intermediates-per-bounce residual stacking as the
+    # top bwd sink (docs/perf.md round 5). No-op without the policy.
+    from jax.ad_checkpoint import checkpoint_name
+
+    t = checkpoint_name(t, "trace")
+    tri = checkpoint_name(tri, "trace")
+    inst = checkpoint_name(inst, "trace")
     miss = tri < 0
     tri = jnp.maximum(tri, 0)   # global id comes straight from the
     #                             kernel's block id row — no gather
@@ -115,6 +134,8 @@ def any_hit(scene, ray_o, ray_d, t_max, live=None,
     lanes return False). Pallas + `compact` packs the live shadow rays
     into dense tiles first (render/compact.py) — the 83%-dead interior
     shadow tiles of round 4 otherwise walk their blocks at full cost."""
+    from jax.ad_checkpoint import checkpoint_name
+
     if live is not None:
         t_max = jnp.where(live, t_max, 0.0)
     if _use_pallas(scene):
@@ -124,22 +145,27 @@ def any_hit(scene, ray_o, ray_d, t_max, live=None,
         bt_s, o_s, d_s, tm_s = jax.lax.stop_gradient(
             (scene.blocked, ray_o, ray_d, t_max))
         if live is not None and compact:
-            return adaptive_any_hit(
+            return checkpoint_name(adaptive_any_hit(
                 lambda o, d, tm: ktrace.any_hit_scene(bt_s, o, d, tm),
-                o_s, d_s, tm_s, live)
-        return ktrace.any_hit_scene(bt_s, o_s, d_s, tm_s)
+                o_s, d_s, tm_s, live), "trace")
+        return checkpoint_name(
+            ktrace.any_hit_scene(bt_s, o_s, d_s, tm_s), "trace")
     if scene.bvh8 is not None:       # CWBVH (build(accel="bvh8"))
         from nexus_tpu.accel import traverse8
 
-        return traverse8.any_hit(scene.bvh8, ray_o, ray_d, t_max)
-    if scene.links_hit is not None:
+        out = traverse8.any_hit(scene.bvh8, ray_o, ray_d, t_max)
+    elif scene.links_hit is not None:
         if scene.is_instanced:
-            return traverse_links.any_hit_tlas(_linked(scene), ray_o,
-                                               ray_d, t_max)
-        return traverse_links.any_hit(_linked(scene), ray_o, ray_d, t_max)
-    if scene.is_instanced:
-        return traverse_tlas.any_hit(scene.tlas, ray_o, ray_d, t_max)
-    return traverse2.any_hit(scene.bvh, ray_o, ray_d, t_max)
+            out = traverse_links.any_hit_tlas(_linked(scene), ray_o,
+                                              ray_d, t_max)
+        else:
+            out = traverse_links.any_hit(_linked(scene), ray_o, ray_d,
+                                         t_max)
+    elif scene.is_instanced:
+        out = traverse_tlas.any_hit(scene.tlas, ray_o, ray_d, t_max)
+    else:
+        out = traverse2.any_hit(scene.bvh, ray_o, ray_d, t_max)
+    return checkpoint_name(out, "trace")
 
 
 @flax.struct.dataclass

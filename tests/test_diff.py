@@ -161,3 +161,4 @@ class TestFiniteDifference:
 
         ad, fd, rel = fd_check(loss, 1.0, eps=2e-3)
         assert rel < 0.05, (ad, fd, rel)
+

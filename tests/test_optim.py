@@ -133,14 +133,15 @@ def test_checkpoint_resume_bit_identical(cornell, settings, tmp_path):
         albedo=jnp.clip(cornell.materials.albedo * 0.5 + 0.2, 0, 1)))
 
     ck = str(tmp_path / "opt.npz")
-    # One shot: 8 steps.
-    s_full, l_full = optim.fit(perturbed, settings, target, steps=8,
+    # One shot: 6 steps (bit-identity is step-count-independent; 3+3
+    # through the checkpoint keeps Adam moments mid-flight).
+    s_full, l_full = optim.fit(perturbed, settings, target, steps=6,
                                lr=3e-2)
-    # Two shots through a checkpoint: 4 + 4.
-    optim.fit(perturbed, settings, target, steps=4, lr=3e-2,
-              checkpoint=ck, checkpoint_every=4)
-    s_res, l_res = optim.fit(perturbed, settings, target, steps=8,
-                             lr=3e-2, checkpoint=ck, checkpoint_every=4)
+    # Two shots through a checkpoint: 3 + 3.
+    optim.fit(perturbed, settings, target, steps=3, lr=3e-2,
+              checkpoint=ck, checkpoint_every=3)
+    s_res, l_res = optim.fit(perturbed, settings, target, steps=6,
+                             lr=3e-2, checkpoint=ck, checkpoint_every=3)
     np.testing.assert_array_equal(
         np.asarray(s_full.materials.albedo),
         np.asarray(s_res.materials.albedo))

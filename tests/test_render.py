@@ -255,3 +255,36 @@ class TestPlyLoader:
             s, RenderSettings(width=16, height=16, path_length=2),
             n_samples=1))
         assert np.isfinite(img).all() and img.max() > 0
+
+
+def test_remat_bounce_grads_match_plain():
+    """RenderSettings.remat_bounce (checkpointed bounce body, reverse
+    recomputes shade math from the named trace saves) must produce the
+    SAME gradients as the plain scan — it changes scheduling, not
+    math (docs/perf.md round 5)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from nexus_tpu.render.wavefront import render_pixels
+    from nexus_tpu.scenes import glass_scene
+
+    scene = glass_scene(20, 20)
+    base = RenderSettings(width=20, height=20, path_length=3,
+                          remat_bounce=False)
+    remat = dataclasses.replace(base, remat_bounce=True)
+    pix = jnp.arange(20 * 20, dtype=jnp.int32)
+
+    def loss(mats, st):
+        img = render_pixels(scene.replace(materials=mats), st, pix,
+                            jnp.uint32(0))
+        return jnp.mean(jnp.clip(img, 0.0, 10.0))
+
+    g0 = jax.grad(loss, allow_int=True)(scene.materials, base)
+    g1 = jax.grad(loss, allow_int=True)(scene.materials, remat)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        if np.issubdtype(np.asarray(a).dtype, np.floating):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-7)

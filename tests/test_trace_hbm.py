@@ -183,3 +183,48 @@ def test_woop_instanced_matches_tlas(instanced):
                                rtol=1e-4, atol=1e-4)
     assert (np.maximum(slot, 0)[hit] == np.asarray(ref.tri_idx)[hit]).all()
     assert (np.asarray(inst)[hit] == np.asarray(ref.inst_idx)[hit]).all()
+
+
+@pytest.mark.parametrize("woop", [False, True])
+def test_pair_pops_match_reference(woop):
+    """blocks_per_entry=2 (pair pops: two Morton blocks per DMA/entry,
+    round-5 fixed-cost-per-pop optimization) must agree with the BVH2
+    reference exactly like the bpe=1 layout."""
+    v0, v1, v2 = _tri_soup(700, seed=9)
+    bvh = bvh2.build(v0, v1, v2, leaf_size=4)
+    arrs = traverse2.device_arrays(bvh, v0, v1, v2)
+    bs = trace_hbm.build_blocked_flat(v0, v1, v2, bvh.tri_order,
+                                      woop=woop, blocks_per_entry=2)
+    assert bs.blocks_per_entry == 2
+    assert bs.tri.shape[0] % 2 == 0
+    o, d = _rays(300)
+    ref = traverse2.closest_hit(arrs, o, d)
+    t, slot, inst = trace_hbm.closest_hit_scene(bs, o, d, interpret=True)
+    slot = np.asarray(slot)
+    ref_t = np.asarray(ref.t)
+    hit = ref_t < 1e29
+    assert ((slot < 0) == ~hit).all()
+    np.testing.assert_allclose(np.asarray(t)[hit], ref_t[hit],
+                               rtol=1e-4, atol=1e-4)
+    assert (np.maximum(slot, 0)[hit] == np.asarray(ref.tri_idx)[hit]).all()
+    for tmax in (0.5, 3.0):
+        refa = traverse2.any_hit(arrs, o, d, jnp.full((300,), tmax))
+        got = trace_hbm.any_hit_scene(bs, o, d, jnp.full((300,), tmax),
+                                      interpret=True)
+        assert (np.asarray(got) == np.asarray(refa)).all()
+
+
+def test_pair_pops_instanced(instanced):
+    tl, _ = instanced
+    bs = trace_hbm.build_blocked_tlas(tl, blocks_per_entry=2)
+    assert bs.blocks_per_entry == 2
+    o, d = _rays(260, seed=2)
+    ref = traverse_tlas.closest_hit(tl, o, d)
+    t, slot, inst = trace_hbm.closest_hit_scene(bs, o, d, interpret=True)
+    slot = np.asarray(slot)
+    ref_t = np.asarray(ref.t)
+    hit = ref_t < 1e29
+    assert ((slot < 0) == ~hit).all()
+    np.testing.assert_allclose(np.asarray(t)[hit], ref_t[hit],
+                               rtol=1e-4, atol=1e-4)
+    assert (np.asarray(inst)[hit] == np.asarray(ref.inst_idx)[hit]).all()
