@@ -25,6 +25,10 @@ def main():
     ap.add_argument("--scene", default="interior")
     ap.add_argument("--bounce", type=int, default=1)
     ap.add_argument("--tiles", type=int, nargs="*", default=[64, 128, 256])
+    ap.add_argument("--depths", type=int, nargs="*", default=[2],
+                    help="DMA pipeline depths (flights in flight)")
+    ap.add_argument("--flights", type=int, nargs="*", default=[None],
+                    help="entries per flight (default: auto)")
     ap.add_argument("--reps", type=int, default=10)
     ap.add_argument("--rounds", type=int, default=5)
     args = ap.parse_args()
@@ -44,6 +48,10 @@ def main():
     r = args.res
     if args.scene == "interior":
         scene = scenes.interior_scene(r, r, target_tris=1_000_000)
+    elif args.scene == "bunny":
+        import tempfile
+
+        scene = scenes.bunny_scene(tempfile.mkdtemp(), r, r, subdiv=6)
     else:
         scene = scenes.glass_scene(r, r)
     settings = RenderSettings(width=r, height=r, path_length=4)
@@ -75,18 +83,21 @@ def main():
     d = jnp.where(ps.active[:, None], ps.ray_d, 1.0)
     bs = scene.blocked
 
-    cases = {
-        f"tile{t}": (lambda t=t: K.closest_hit_scene(bs, o, d,
-                                                     tile_r=t)[0])
-        for t in args.tiles
-    }
+    cases = {}
+    for t in args.tiles:
+        for dp in args.depths:
+            for fl in args.flights:
+                key = f"tile{t}_d{dp}" + (f"_f{fl}" if fl else "")
+                cases[key] = (
+                    lambda t=t, dp=dp, fl=fl: K.closest_hit_scene(
+                        bs, o, d, tile_r=t, depth=dp, flight=fl)[0])
     stats = interleave(cases, reps=args.reps, rounds=args.rounds)
 
     pops = {}
     for t in args.tiles:
         _t, _s, _i, pc = K.closest_hit_stats(bs, o, d, tile_r=t)
         pc = np.asarray(pc)
-        pops[f"tile{t}"] = {
+        pops[f"tile{t}_d2"] = {
             "tiles": int(pc.shape[0]),
             "chunk_pops_mean": round(float(pc[:, 0].mean()), 1),
             "isect_mean": round(float(pc[:, 1].mean()), 1),

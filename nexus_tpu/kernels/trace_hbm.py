@@ -140,12 +140,11 @@ class BlockedScene:
     instanced: bool = flax.struct.field(pytree_node=False, default=False)
     # Blocks DMA'd + intersected per entry pop (static). Round-5 tile
     # sweep fit per-pop cost = 0.79 us FIXED (DMA wait + loop overhead)
-    # + 0.21 us of (R,128) VPU work at R=128 — the kernel is
-    # fixed-cost-per-pop bound, so big scenes pop PAIRS of consecutive
-    # Morton blocks per DMA (one contiguous copy, 2 masked MT passes):
-    # ~35-45%% fewer pops for ~2x the cheap variable part. Entry AABBs
-    # are the union of the member blocks. Auto: 2 when the scene has
-    # >= _PAIR_MIN_BLOCKS blocks, else 1 (docs/perf.md round-5 A/B).
+    # + 0.21 us of (R,128) VPU work at R=128 — fixed-cost-per-pop
+    # bound, which motivated popping PAIRS of consecutive Morton blocks
+    # per DMA. Measured NEGATIVE as a default (see _PAIR_MIN_BLOCKS):
+    # pair unions were too loose, pops only dropped 15%. Explicit
+    # blocks_per_entry=2 remains available and kernel-supported.
     blocks_per_entry: int = flax.struct.field(pytree_node=False,
                                               default=1)
 
@@ -370,8 +369,14 @@ def _pack_entries(world_lo, world_hi, ent_block, ent_inst):
             np.concatenate([ent_inst.astype(np.int32), zpad]), ne)
 
 
-_PAIR_MIN_BLOCKS = 1024   # >= this many blocks -> 2 blocks per entry
-#                           (pair pops; see BlockedScene.blocks_per_entry)
+# Pair pops (blocks_per_entry=2) measured NEGATIVE as a default on the
+# 983k interior (docs/perf.md round 5): pops only dropped 15% (unions
+# of Morton-adjacent block pairs are loose — pairs straddle Morton
+# discontinuities) while each pop pays 2x the variable MT cost:
+# 142.6 -> 154.8 ms on bounce-1 closest. The cost model held (per-pop
+# fixed 0.79 us verified at bpe=2 as 0.84); the PAIRING quality is
+# what failed. Kept as an explicit option; auto-pairing disabled.
+_PAIR_MIN_BLOCKS = 1 << 30
 
 
 def _pad_blocks(tri, oaabb, to_global, bpe):
@@ -664,21 +669,25 @@ def _select(e_ref, thresh, lane, k):
     return sels
 
 
-def _pipelined_pops(k, select_fn, dma_fn, hit_fn):
-    """Depth-2 pipelined pop loop over flights of k entries.
+def _pipelined_pops(k, depth, select_fn, dma_fn, hit_fn):
+    """Depth-D pipelined pop loop over flights of k entries.
 
-    Two flights are in DMA flight at any time; entries of flight i+2
-    are selected immediately after flight i's intersections, so the
-    selection threshold is at most one flight stale while flight i+1's
-    DMAs hide behind flight i's compute. (The TPU re-expression of the
-    persistent-thread dynamic ray fetch + postponement economics of
-    BVH8Traversal.cuh:171-180 — overlap memory with compute while
-    keeping the working set honest.)
+    D flights are in DMA flight at any time; entries of flight i+D are
+    selected immediately after flight i's intersections, so the
+    selection threshold is at most D-1 flights stale while the later
+    flights' DMAs hide behind flight i's compute. (The TPU
+    re-expression of the persistent-thread dynamic ray fetch +
+    postponement economics of BVH8Traversal.cuh:171-180 — overlap
+    memory with compute while keeping the working set honest.) The
+    round-5 tile-sweep fit put the per-pop FIXED cost at ~0.79 us —
+    largely un-hidden DMA wait — which is what extra depth attacks;
+    staleness costs extra pops, so depth is swept per scene class
+    (_depth_for, docs/perf.md).
 
     select_fn() -> list of k consumed entry ids (-1-padded);
     dma_fn(eid, slot) -> async copy handle; hit_fn(eid, slot) waits and
-    intersects. Slots are flight-major: flight slot f in {0,1}, entry j
-    -> buffer slot f*k+j.
+    intersects. Slots are flight-major: flight slot f in {0..D-1},
+    entry j -> buffer slot f*k+j.
     """
     def start_flight(sels, f):
         for j in range(k):
@@ -686,25 +695,27 @@ def _pipelined_pops(k, select_fn, dma_fn, hit_fn):
             def _(j=j):
                 dma_fn(sels[j], f * k + j).start()
 
-    f0 = select_fn()
-    start_flight(f0, 0)
-    f1 = select_fn()
-    start_flight(f1, 1)
+    flights = []
+    for f in range(depth):
+        sels = select_fn()
+        start_flight(sels, f)
+        flights.extend(sels)
 
     def body(state):
         sl = state[-1]
         cur = state[0:k]
-        nxt = state[k:2 * k]
+        rest = state[k:depth * k]
         for j in range(k):
             @pl.when(cur[j] >= 0)
             def _(j=j):
                 hit_fn(cur[j], sl * k + j)
-        f2 = select_fn()
-        start_flight(f2, sl)
-        return (*nxt, *f2, 1 - sl)
+        fn = select_fn()
+        start_flight(fn, sl)
+        nsl = sl + 1
+        return (*rest, *fn, jnp.where(nsl >= depth, 0, nsl))
 
     jax.lax.while_loop(lambda s: s[0] >= 0, body,
-                       (*f0, *f1, jnp.int32(0)))
+                       (*flights, jnp.int32(0)))
 
 
 def _win_entry(wc_ref, sel):
@@ -796,7 +807,8 @@ def _traverse(instanced, nec, npc, gc, intersect_window,
     jax.lax.while_loop(lambda go: go, outer_body, True)
 
 
-def _closest_kernel(instanced, nec, npc, flight, gc, woop, bpe, stats,
+def _closest_kernel(instanced, nec, npc, flight, depth, gc, woop, bpe,
+                    stats,
                     ent_blk_ref, ent_inst_ref, inv_ref,       # SMEM
                     ray_ref, aabb_ref, parent_ref, tri_hbm,   # VMEM/ANY
                     *rest):
@@ -868,7 +880,7 @@ def _closest_kernel(instanced, nec, npc, flight, gc, woop, bpe, stats,
 
         def intersect_window():
             _pipelined_pops(
-                flight,
+                flight, depth,
                 lambda: _select(e_ref, t_ref[:], laneW, flight),
                 lambda e, sl: dma(_win_entry(wc_ref, e), sl),
                 lambda e, sl: intersect(_win_entry(wc_ref, e), sl))
@@ -878,7 +890,7 @@ def _closest_kernel(instanced, nec, npc, flight, gc, woop, bpe, stats,
                   epar_ref, e_ref, wc_ref, lambda: t_ref[:], pops_ref)
 
 
-def _anyhit_kernel(instanced, nec, npc, flight, gc, woop, bpe,
+def _anyhit_kernel(instanced, nec, npc, flight, depth, gc, woop, bpe,
                    ent_blk_ref, ent_inst_ref, inv_ref,
                    ray_ref, aabb_ref, parent_ref, tri_hbm,
                    hit_ref,
@@ -919,7 +931,7 @@ def _anyhit_kernel(instanced, nec, npc, flight, gc, woop, bpe,
 
         def intersect_window():
             _pipelined_pops(
-                flight,
+                flight, depth,
                 lambda: _select(e_ref, cap(), laneW, flight),
                 lambda e, sl: dma(_win_entry(wc_ref, e), sl),
                 lambda e, sl: intersect(_win_entry(wc_ref, e), sl))
@@ -959,7 +971,8 @@ def _flight_for(n_entries: int) -> int:
 GC_MAX = 4         # chunks per drain window (see _traverse)
 
 
-def _common_specs(nec, npc, tile_r, flight, gc, rows=10, bpe=1):
+def _common_specs(nec, npc, tile_r, flight, gc, rows=10, bpe=1,
+                  depth=2):
     smem = [pl.BlockSpec(memory_space=pltpu.SMEM) for _ in range(3)]
     in_specs = smem + [
         pl.BlockSpec((tile_r, 8), lambda i: (i, 0),
@@ -971,15 +984,17 @@ def _common_specs(nec, npc, tile_r, flight, gc, rows=10, bpe=1):
     scratch = [pltpu.VMEM((tile_r, npc * CHUNK), jnp.float32),
                pltpu.VMEM((tile_r, gc * CHUNK), jnp.float32),
                pltpu.SMEM((gc,), jnp.int32),
-               pltpu.VMEM((2 * flight, bpe, rows, CHUNK), jnp.float32),
-               pltpu.SemaphoreType.DMA((2 * flight,))]
+               pltpu.VMEM((depth * flight, bpe, rows, CHUNK),
+                          jnp.float32),
+               pltpu.SemaphoreType.DMA((depth * flight,))]
     return in_specs, scratch
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("interpret", "tile_r", "flight"))
+                   static_argnames=("interpret", "tile_r", "flight",
+                                    "depth"))
 def closest_hit_scene(bs: BlockedScene, ray_o, ray_d, interpret=False,
-                      tile_r=TILE_R, flight=None):
+                      tile_r=TILE_R, flight=None, depth=2):
     """Closest hit. Returns (t, tri, inst): tri = GLOBAL triangle id
     (-1 on miss; extracted in-kernel from the block id row), inst =
     instance id (0 for flat scenes)."""
@@ -993,12 +1008,12 @@ def closest_hit_scene(bs: BlockedScene, ray_o, ray_d, interpret=False,
     rows = bs.tri.shape[1]
     bpe = bs.blocks_per_entry
     in_specs, scratch = _common_specs(nec, npc, tile_r, flight, gc,
-                                      rows, bpe)
+                                      rows, bpe, depth)
     col = pl.BlockSpec((tile_r, 1), lambda i: (i, 0),
                        memory_space=pltpu.VMEM)
     t, slot, inst = pl.pallas_call(
         functools.partial(_closest_kernel, bs.instanced, nec, npc,
-                          flight, gc, rows == 13, bpe, False),
+                          flight, depth, gc, rows == 13, bpe, False),
         grid=(rp // tile_r,),
         in_specs=in_specs,
         out_specs=(col, col, col),
@@ -1013,9 +1028,10 @@ def closest_hit_scene(bs: BlockedScene, ray_o, ray_d, interpret=False,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("interpret", "tile_r", "flight"))
+                   static_argnames=("interpret", "tile_r", "flight",
+                                    "depth"))
 def closest_hit_stats(bs: BlockedScene, ray_o, ray_d, interpret=False,
-                      tile_r=TILE_R, flight=None):
+                      tile_r=TILE_R, flight=None, depth=2):
     """closest_hit_scene + per-tile pop counters (perf diagnostics):
     returns (t, slot, inst, pops) with pops (n_tiles, 2) int32 =
     [chunk pops, entry intersections] per ray tile. Used by
@@ -1030,12 +1046,12 @@ def closest_hit_stats(bs: BlockedScene, ray_o, ray_d, interpret=False,
     rows = bs.tri.shape[1]
     bpe = bs.blocks_per_entry
     in_specs, scratch = _common_specs(nec, npc, tile_r, flight, gc,
-                                      rows, bpe)
+                                      rows, bpe, depth)
     col = pl.BlockSpec((tile_r, 1), lambda i: (i, 0),
                        memory_space=pltpu.VMEM)
     t, slot, inst, pops = pl.pallas_call(
         functools.partial(_closest_kernel, bs.instanced, nec, npc,
-                          flight, gc, rows == 13, bpe, True),
+                          flight, depth, gc, rows == 13, bpe, True),
         grid=(rp // tile_r,),
         in_specs=in_specs,
         out_specs=(col, col, col,
@@ -1053,9 +1069,10 @@ def closest_hit_stats(bs: BlockedScene, ray_o, ray_d, interpret=False,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("interpret", "tile_r", "flight"))
+                   static_argnames=("interpret", "tile_r", "flight",
+                                    "depth"))
 def any_hit_scene(bs: BlockedScene, ray_o, ray_d, t_max, interpret=False,
-                  tile_r=TILE_R, flight=None):
+                  tile_r=TILE_R, flight=None, depth=2):
     """Occlusion test (True = some hit with t < t_max)."""
     r = ray_o.shape[0]
     rp = max((r + tile_r - 1) // tile_r, 1) * tile_r
@@ -1067,10 +1084,10 @@ def any_hit_scene(bs: BlockedScene, ray_o, ray_d, t_max, interpret=False,
     rows = bs.tri.shape[1]
     bpe = bs.blocks_per_entry
     in_specs, scratch = _common_specs(nec, npc, tile_r, flight, gc,
-                                      rows, bpe)
+                                      rows, bpe, depth)
     hit = pl.pallas_call(
         functools.partial(_anyhit_kernel, bs.instanced, nec, npc,
-                          flight, gc, rows == 13, bpe),
+                          flight, depth, gc, rows == 13, bpe),
         grid=(rp // tile_r,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((tile_r, 1), lambda i: (i, 0),
