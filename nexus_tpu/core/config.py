@@ -40,14 +40,14 @@ class RenderSettings:
     # very large scenes with deep bounce trees.
     sort_lanes: bool = False
     # Dead-lane parking (wavefront integrator): per-bounce stable
-    # partition that sinks dead lanes to the tail so their trace tiles
-    # are skipped wholesale, WITHOUT disturbing live-lane z-order.
-    # Applied when the scene has at least this many triangles; 0 (the
-    # default) disables. Measured on the 1M-tri interior at 4 bounces:
-    # 3% SLOWER than no parking (the ~13 ms/bounce permute exceeds the
-    # parked-tail savings while ~half the lanes are still alive) — turn
-    # it on for DEEP path lengths (8+) where late bounces are mostly
-    # dead, which is where the queue-compaction analog actually pays.
+    # partition of the FULL path-state pytree sinking dead lanes to the
+    # tail. SUPERSEDED by compact_queues, which moves only the
+    # kernel-facing ray columns: the round-5 10-bounce A/B
+    # (benchmarks/ab_deep.py, docs/perf.md) measured a cornell deep
+    # sample at 70.7 ms with compaction vs 222.5 ms with parking (the
+    # r4 "pays at 8+ bounces" prediction was wrong — the pytree permute
+    # dwarfs the parked-tail savings at every depth). Kept only for
+    # A/B reproduction; leave 0.
     park_dead_min_tris: int = 0
     # Trace-queue compaction (render/compact.py): stable-partition pack
     # the live rays of each trace/shadow queue into dense 128-lane tiles

@@ -960,12 +960,14 @@ def _pack_rays(ray_o, ray_d, t_max, rp):
 
 
 def _flight_for(n_entries: int) -> int:
-    """Entries selected per pipeline flight. Shallow scenes (everything
-    in one chunk) want zero staleness (k=1: every pop re-checked against
-    live best-t); pop-deep scenes amortize the per-selection masked
-    reduction over two pops (measured: k=1 wins on cornell, k=2 on the
-    82k-tri blob; docs/perf.md)."""
-    return 1 if n_entries <= CHUNK else 2
+    """Entries selected per pipeline flight. k=1 re-checks every pop
+    against the LIVE best-t (zero staleness). Round 4 measured k=2
+    better on the 82k blob, but the round-5 re-sweep on real bounce
+    rays (benchmarks/ab_tiles.py --flights) shows k=1 winning
+    everywhere with the windowed traversal — interior 1M: 138.1 vs
+    142.4 ms, bunny 82k: 12.6 vs 13.5 ms (docs/perf.md). The selection
+    reduction got cheaper relative to wasted stale pops."""
+    return 1
 
 
 GC_MAX = 4         # chunks per drain window (see _traverse)
