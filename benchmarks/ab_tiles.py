@@ -29,6 +29,8 @@ def main():
                     help="DMA pipeline depths (flights in flight)")
     ap.add_argument("--flights", type=int, nargs="*", default=[None],
                     help="entries per flight (default: auto)")
+    ap.add_argument("--bpe", type=int, default=0,
+                    help="rebuild with this blocks_per_entry")
     ap.add_argument("--reps", type=int, default=10)
     ap.add_argument("--rounds", type=int, default=5)
     args = ap.parse_args()
@@ -82,6 +84,16 @@ def main():
     o = jnp.where(ps.active[:, None], ps.ray_o, 1.0e30)
     d = jnp.where(ps.active[:, None], ps.ray_d, 1.0)
     bs = scene.blocked
+    if args.bpe and args.bpe != bs.blocks_per_entry:
+        # Rebuild the blocked layout with an explicit blocks_per_entry
+        # from the scene's world-space verts (flat scenes: tri_attr
+        # rows 0..8 are world verts in GLOBAL-id order).
+        assert not scene.is_instanced
+        ta = np.asarray(scene.tri_attr)
+        bs = K.build_blocked_flat(
+            ta[:, 0:3], ta[:, 3:6], ta[:, 6:9],
+            np.arange(ta.shape[0], dtype=np.int32),
+            blocks_per_entry=args.bpe)
 
     cases = {}
     for t in args.tiles:

@@ -40,7 +40,9 @@ at two hierarchy levels, each a single vectorized VPU pass:
 Memory layout (host-built by `build_blocked_flat` / `build_blocked_tlas`):
 
   tri    (NBG, 10, 128) f32 HBM   one 128-triangle block per row,
-                                  Morton order per BLAS; rows are
+                                  median-cut BSP clusters per BLAS
+                                  (_bsp_order; 3.5x tighter than the
+                                  round-4 Morton slicing); rows are
                                   ax,ay,az,bx,by,bz,cx,cy,cz plus the
                                   GLOBAL triangle id as an exact f32
                                   (ids < 2^24) — the winning lane's id
@@ -313,6 +315,43 @@ def _block_tris(v0, v1, v2, plo, phi, gids, woop=False):
             np.concatenate([lo, hi], axis=1), to_global)
 
 
+def _bsp_order(centers, leaf=None):
+    """Balanced BSP (median-cut) ordering of (N, 3) points: recursively
+    split along the longest axis at a CHUNK-aligned median, so every
+    consecutive 128-run is a spatially tight cluster and consecutive
+    256-runs (sibling pairs) are tight unions by construction.
+
+    Replaces the Morton-curve slicing used through round 4: Morton
+    128-runs straddle curve discontinuities, which is why pair pops
+    only cut pops 15% (docs/perf.md round 5) — a median-cut split
+    never produces a cluster wider than its parent's split axis
+    extent. Returns an (N,) permutation."""
+    leaf = leaf or CHUNK
+    centers = np.asarray(centers, np.float64)
+    out = np.empty(centers.shape[0], np.int64)
+    pos = 0
+    stack = [np.arange(centers.shape[0], dtype=np.int64)]
+    while stack:
+        idx = stack.pop()
+        n = idx.shape[0]
+        if n <= leaf:
+            out[pos:pos + n] = idx
+            pos += n
+            continue
+        c = centers[idx]
+        ax = int((c.max(axis=0) - c.min(axis=0)).argmax())
+        # CHUNK-aligned split nearest the median keeps every block
+        # within one side; clamp so both sides are non-empty.
+        k = int(round(n / 2 / leaf)) * leaf
+        k = min(max(k, leaf), (n - 1) // leaf * leaf)
+        if k <= 0 or k >= n:
+            k = n // 2
+        part = np.argpartition(c[:, ax], k)
+        stack.append(idx[part[k:]])
+        stack.append(idx[part[:k]])
+    return out
+
+
 def _morton3(points):
     """30-bit 3D Morton codes of (N, 3) points (normalized per-axis)."""
     span = points.max(axis=0) - points.min(axis=0)
@@ -330,13 +369,13 @@ def _morton3(points):
 
 
 def _pack_entries(world_lo, world_hi, ent_block, ent_inst):
-    """Morton-sort entries by AABB center, pad to a CHUNK multiple with
+    """BSP-cluster entries by AABB center, pad to a CHUNK multiple with
     +BIG sentinel boxes (rejected by the slab pass's validity mask),
     transpose into (NEC, 8, 128) chunks, and compute the chunk-level
     parent AABBs (NPC, 8, 128)."""
     ne = ent_block.shape[0]
     center = 0.5 * (world_lo + world_hi)
-    perm = np.argsort(_morton3(center), kind="stable")
+    perm = _bsp_order(center)   # tight 128-entry chunks (see _bsp_order)
     world_lo, world_hi = world_lo[perm], world_hi[perm]
     ent_block, ent_inst = ent_block[perm], ent_inst[perm]
 
@@ -409,15 +448,16 @@ def build_blocked_flat(v0, v1, v2, order, woop=False,
     """Flat world-space scene: one entry per block, identity instance.
 
     Oversized triangles are subdivided for traversal (see _split_big)
-    and the pieces Morton-re-sorted by centroid so blocks stay
-    spatially compact; `order` (the BVH2 DFS order) seeds the id map.
-    woop selects the MXU-matmul intersection layout (_woop_rows)."""
+    and the pieces re-clustered by centroid with a median-cut BSP
+    (_bsp_order) so every 128-block is spatially tight; `order` (the
+    BVH2 DFS order) seeds the id map. woop selects the MXU-matmul
+    intersection layout (_woop_rows)."""
     order = np.asarray(order, np.int32)
     v0 = np.asarray(v0, np.float32)[order]
     v1 = np.asarray(v1, np.float32)[order]
     v2 = np.asarray(v2, np.float32)[order]
     v0, v1, v2, plo, phi, ids = _split_big(v0, v1, v2, order)
-    perm = np.argsort(_morton3(0.5 * (plo + phi)), kind="stable")
+    perm = _bsp_order(0.5 * (plo + phi))
     v0, v1, v2, ids = v0[perm], v1[perm], v2[perm], ids[perm]
     plo, phi = plo[perm], phi[perm]
     tri, oaabb, to_global = _block_tris(v0, v1, v2, plo, phi, ids,
@@ -466,7 +506,7 @@ def build_blocked_tlas(tl, woop=False, blocks_per_entry=None) -> BlockedScene:
         order = tri_order[off:off + nt]  # global tri ids, BLAS DFS order
         s0, s1, s2, plo, phi, ids = _split_big(
             v0[order], v1[order], v2[order], order)
-        perm = np.argsort(_morton3(0.5 * (plo + phi)), kind="stable")
+        perm = _bsp_order(0.5 * (plo + phi))
         s0, s1, s2, ids = s0[perm], s1[perm], s2[perm], ids[perm]
         plo, phi = plo[perm], phi[perm]
         prepared[b] = _block_tris(s0, s1, s2, plo, phi, ids, woop=woop)
