@@ -44,10 +44,6 @@ _PARK_ORIGIN = 1.0e30  # matches trace_hbm._pack_rays invalid threshold
 ALIVE_THRESH = 0.85
 
 
-def _alive_frac(live: jnp.ndarray) -> jnp.ndarray:
-    return jnp.mean(live.astype(jnp.float32))
-
-
 def compact_src(live: jnp.ndarray):
     """Stable-partition index maps for a (R,) bool live mask.
 
@@ -102,34 +98,94 @@ def compacted_closest_hit(closest_fn, ray_o, ray_d, live,
     return t, tri, inst
 
 
+# Sliced-launch bucket: when the compacted queue fits in R/_BUCKET_DIV
+# lanes, only that prefix is fed to the kernel (static slice per
+# lax.switch branch) — the all-dead tail tiles' pass-through floor
+# (~11 us/tile: grid step + ray DMA + parent slab + early exit;
+# docs/perf.md round 5) disappears instead of being merely cheap.
+# One extra kernel grid size per queue; requires R % (TILE_R *
+# _BUCKET_DIV) == 0 (65k-lane production chunks qualify).
+_BUCKET_DIV = 4
+_BUCKET_ALIGN = 128 * _BUCKET_DIV
+
+
+def _route(live, thresh):
+    """0 = direct (dense), 1 = compacted full-width, 2 = compacted
+    sliced to R // _BUCKET_DIV."""
+    r = live.shape[0]
+    nl = jnp.sum(live.astype(jnp.int32))
+    idx = jnp.where(nl >= jnp.int32(thresh * r), 0, 1)
+    if r % _BUCKET_ALIGN == 0:
+        idx = jnp.where((idx == 1) & (nl <= r // _BUCKET_DIV), 2, idx)
+    return idx
+
+
 def adaptive_any_hit(any_hit_fn, ray_o, ray_d, t_max, live,
                      thresh=ALIVE_THRESH):
     """Occlusion test that compacts only when the queue is sparse
-    enough to pay for the index maps (`ALIVE_THRESH`); dense queues
-    run direct with dead lanes' t_max zeroed. One lax.cond — the
-    predicate is the live fraction, so the choice adapts per bounce
-    inside the fused sample."""
-    return jax.lax.cond(
-        _alive_frac(live) < thresh,
-        lambda: compacted_any_hit(any_hit_fn, ray_o, ray_d, t_max, live),
+    enough to pay for the index maps (`ALIVE_THRESH`), and shrinks the
+    kernel launch to R/_BUCKET_DIV lanes when the live set fits (see
+    _route); dense queues run direct with dead lanes' t_max zeroed.
+    Every branch returns final lane-ordered results, so the dense path
+    pays nothing for the maps. The predicate is the live count, so the
+    choice adapts per bounce inside the fused sample."""
+    r = live.shape[0]
+
+    def compacted(width):
+        def f():
+            src, pos = compact_src(live)
+            srcc = jnp.maximum(src, 0)
+            hit_c = any_hit_fn(
+                ray_o[srcc][:width], ray_d[srcc][:width],
+                jnp.where(src >= 0, t_max[srcc], 0.0)[:width])
+            hit = jnp.pad(hit_c, (0, r - width))
+            return live & hit[jnp.where(live, pos, 0)]
+        return f
+
+    branches = [
         lambda: live & any_hit_fn(ray_o, ray_d,
-                                  jnp.where(live, t_max, 0.0)))
+                                  jnp.where(live, t_max, 0.0)),
+        compacted(r),
+    ]
+    if r % _BUCKET_ALIGN == 0:
+        branches.append(compacted(r // _BUCKET_DIV))
+    return jax.lax.switch(_route(live, thresh), branches)
 
 
 def adaptive_closest_hit(closest_fn, ray_o, ray_d, live,
                          thresh=ALIVE_THRESH):
-    """Closest hit with occupancy-gated compaction (see
-    adaptive_any_hit); the dense path parks dead lanes at +1e30 so
-    the kernel marks them invalid."""
+    """Closest hit with occupancy-gated compaction + sliced launches
+    (see adaptive_any_hit); the dense path parks dead lanes at +1e30
+    so the kernel marks them invalid."""
+    r = live.shape[0]
+
+    def compacted(width):
+        def f():
+            src, pos = compact_src(live)
+            srcc = jnp.maximum(src, 0)
+            ok = (src >= 0)[:, None]
+            o_c = jnp.where(ok, ray_o[srcc], _PARK_ORIGIN)[:width]
+            d_c = jnp.where(ok, ray_d[srcc], 1.0)[:width]
+            t_c, tri_c, inst_c = closest_fn(o_c, d_c)
+            t_c = jnp.pad(t_c, (0, r - width),
+                          constant_values=_PARK_ORIGIN)
+            tri_c = jnp.pad(tri_c, (0, r - width), constant_values=-1)
+            inst_c = jnp.pad(inst_c, (0, r - width))
+            back = jnp.where(live, pos, 0)
+            return (jnp.where(live, t_c[back], _PARK_ORIGIN),
+                    jnp.where(live, tri_c[back], -1),
+                    jnp.where(live, inst_c[back], 0))
+        return f
+
     def direct():
-        ok = live[:, None]
-        t, tri, inst = closest_fn(jnp.where(ok, ray_o, _PARK_ORIGIN),
-                                  jnp.where(ok, ray_d, 1.0))
+        t, tri, inst = closest_fn(
+            jnp.where(live[:, None], ray_o, _PARK_ORIGIN),
+            jnp.where(live[:, None], ray_d, 1.0))
         return (jnp.where(live, t, _PARK_ORIGIN),
                 jnp.where(live, tri, -1),
                 jnp.where(live, inst, 0))
 
-    return jax.lax.cond(
-        _alive_frac(live) < thresh,
-        lambda: compacted_closest_hit(closest_fn, ray_o, ray_d, live),
-        direct)
+    branches = [direct, compacted(r)]
+    if r % _BUCKET_ALIGN == 0:
+        branches.append(compacted(r // _BUCKET_DIV))
+    return jax.lax.switch(_route(live, thresh), branches)

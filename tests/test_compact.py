@@ -122,3 +122,39 @@ def test_render_equivalent_with_and_without_compaction():
     b = megakernel.render(scene, s_off, 2)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                rtol=1e-6, atol=1e-7)
+
+
+def test_bucketed_launch_matches_direct():
+    """Very sparse queues on bucket-aligned widths route to the sliced
+    R/4 launch (render/compact.py _route); results must match the
+    full-width trace on the live set."""
+    rng = np.random.default_rng(12)
+    c = rng.uniform(-2, 2, (180, 3)).astype(np.float32)
+    v0 = c + rng.normal(0, 0.2, (180, 3)).astype(np.float32)
+    v1 = c + rng.normal(0, 0.2, (180, 3)).astype(np.float32)
+    v2 = c + rng.normal(0, 0.2, (180, 3)).astype(np.float32)
+    bvh = bvh2.build(v0, v1, v2, leaf_size=4)
+    bs = trace_hbm.build_blocked_flat(v0, v1, v2, bvh.tri_order)
+    o, d = _rays(1024)            # 1024 % (128*4) == 0 -> bucketable
+    live = jnp.asarray(rng.random(1024) < 0.1)   # ~10% -> R/4 slice
+    assert int(compact._route(live, 0.85)) == 2
+    lv = np.asarray(live)
+
+    closest = lambda oo, dd: trace_hbm.closest_hit_scene(
+        bs, oo, dd, interpret=True)
+    t_ref, tri_ref, _ = closest(o, d)
+    t, tri, inst = compact.adaptive_closest_hit(closest, o, d, live)
+    np.testing.assert_allclose(np.asarray(t)[lv],
+                               np.asarray(t_ref)[lv])
+    np.testing.assert_array_equal(np.asarray(tri)[lv],
+                                  np.asarray(tri_ref)[lv])
+    assert (np.asarray(tri)[~lv] == -1).all()
+
+    anyhit = lambda oo, dd, tm: trace_hbm.any_hit_scene(
+        bs, oo, dd, tm, interpret=True)
+    tmax = jnp.full((1024,), 2.5, jnp.float32)
+    h_ref = anyhit(o, d, jnp.where(live, tmax, 0.0))
+    h = compact.adaptive_any_hit(anyhit, o, d, tmax, live)
+    np.testing.assert_array_equal(np.asarray(h)[lv],
+                                  np.asarray(h_ref)[lv])
+    assert not np.asarray(h)[~lv].any()
