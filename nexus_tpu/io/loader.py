@@ -29,11 +29,16 @@ def add_model(builder: SceneBuilder, path: str | Path) -> list[int]:
         return _add_ply(builder, path)
     if suffix == ".fbx":
         return _add_fbx(builder, path)
+    if suffix == ".dae":
+        return _add_dae(builder, path)
+    if suffix == ".3ds":
+        return _add_3ds(builder, path)
     raise ValueError(
         f"unsupported model format {suffix!r}: supported are .glb/.gltf, "
-        f".obj (+.mtl), .ply, .fbx (binary, static meshes — io/fbx.py). "
-        f"The reference reads blend/3ds/dae via assimp, which this build "
-        f"does not link — convert to glTF "
+        f".obj (+.mtl), .ply, .fbx (binary, static meshes — io/fbx.py), "
+        f".dae (COLLADA — io/dae.py), .3ds (io/tds.py). "
+        f"The reference reads further formats (e.g. .blend) via assimp, "
+        f"which this build does not link — convert to glTF "
         f"(e.g. `assimp export {path.name} {path.stem}.glb`).")
 
 
@@ -52,6 +57,106 @@ def _add_fbx(builder: SceneBuilder, path: Path) -> list[int]:
         transform=m.transform, normals=m.normals, uvs=m.uvs,
         name=m.name or f"{path.stem}/{k}")
         for k, m in enumerate(meshes)]
+
+
+def _add_dae(builder: SceneBuilder, path: Path) -> list[int]:
+    """COLLADA scenes (io/dae.py): world-placed nodes with materials
+    converted by the same heuristics as MTL (the reference funnels both
+    through Assimp's common material model, OBJLoader.cpp:71-163):
+    default PLASTIC, DIELECTRIC when the effect is transmissive
+    (opacity < 1 with a refractive IOR), roughness from the phong
+    exponent via the same clamp(1 - sqrt(Ns)/31.62278) mapping."""
+    from nexus_tpu.io import dae
+    from nexus_tpu.scene.materials import DIELECTRIC, PLASTIC
+
+    meshes, materials = dae.load(path)
+    if not meshes:
+        raise ValueError(f"{path.name}: no triangle geometry found")
+
+    def tex(rel):
+        if not rel:
+            return -1
+        p = path.parent / rel
+        if not p.exists():
+            return -1
+        return builder.add_texture(_decode_image_srgb(p.read_bytes()))
+
+    mat_ids = []
+    for m in materials:
+        ns = 20.0 if m.shininess is None else m.shininess
+        roughness = float(np.clip(
+            1.0 - np.sqrt(max(ns, 0.0)) / 31.62278, 0.0, 1.0))
+        mtype = (DIELECTRIC if (m.opacity < 1.0 and m.ior > 1.0)
+                 else PLASTIC)
+        mat_ids.append(builder.add_material(
+            mtype=mtype, albedo=m.diffuse, emission=m.emission,
+            intensity=1.0, opacity=m.opacity, ior=m.ior,
+            roughness=roughness, diffuse_map=tex(m.map_kd)))
+    default_id = None
+    inst_ids = []
+    for mesh in meshes:
+        if mesh.material >= 0:
+            mat_id = mat_ids[mesh.material]
+        else:
+            if default_id is None:
+                default_id = builder.add_material()
+            mat_id = default_id
+        inst_ids.append(builder.add_mesh(
+            vertices=mesh.positions, faces=mesh.faces, material_id=mat_id,
+            transform=mesh.transform, normals=mesh.normals, uvs=mesh.uvs,
+            name=mesh.name))
+    return inst_ids
+
+
+def _add_3ds(builder: SceneBuilder, path: Path) -> list[int]:
+    """3DS meshes (io/tds.py): per-material face groups split into
+    instances (same shape as the OBJ usemtl path); shininess percent →
+    roughness = 1 - percent (3DS shininess is already 0-1)."""
+    from nexus_tpu.io import tds
+    from nexus_tpu.scene.materials import PLASTIC
+
+    meshes, materials = tds.load(path)
+    if not meshes:
+        raise ValueError(f"{path.name}: no triangle geometry found")
+
+    def tex(rel):
+        if not rel:
+            return -1
+        p = path.parent / rel
+        if not p.exists():
+            return -1
+        return builder.add_texture(_decode_image_srgb(p.read_bytes()))
+
+    mat_ids = []
+    for m in materials:
+        rough = 1.0 if m.shininess is None else float(
+            np.clip(1.0 - m.shininess, 0.0, 1.0))
+        mat_ids.append(builder.add_material(
+            mtype=PLASTIC, albedo=m.diffuse, opacity=m.opacity,
+            roughness=rough, diffuse_map=tex(m.map_kd)))
+    default_id = None
+    inst_ids = []
+    for mesh in meshes:
+        fm = mesh.face_material
+        if fm is None or len(mat_ids) == 0 or (fm < 0).all():
+            if default_id is None:
+                default_id = builder.add_material()
+            inst_ids.append(builder.add_mesh(
+                vertices=mesh.positions, faces=mesh.faces,
+                material_id=default_id, uvs=mesh.uvs, name=mesh.name))
+            continue
+        for k, g in enumerate(np.unique(fm)):
+            faces = mesh.faces[fm == g]
+            if g < 0:
+                if default_id is None:
+                    default_id = builder.add_material()
+                mat_id = default_id
+            else:
+                mat_id = mat_ids[g]
+            inst_ids.append(builder.add_mesh(
+                vertices=mesh.positions, faces=faces, material_id=mat_id,
+                uvs=mesh.uvs, name=f"{mesh.name}/{k}"))
+    return inst_ids
 
 
 def _add_ply(builder: SceneBuilder, path: Path) -> list[int]:
