@@ -848,13 +848,13 @@ def _traverse(instanced, nec, npc, gc, intersect_window,
 
 
 def _closest_kernel(instanced, nec, npc, flight, depth, gc, woop, bpe,
-                    stats,
+                    stats, vmem,
                     ent_blk_ref, ent_inst_ref, inv_ref,       # SMEM
                     ray_ref, aabb_ref, parent_ref, tri_hbm,   # VMEM/ANY
                     *rest):
     if stats:
         t_ref, slot_ref, inst_ref, pops_all = rest[:4]
-        epar_ref, e_ref, wc_ref, buf, sem = rest[4:]
+        rest = rest[4:]
 
         _tile_i = pl.program_id(0)    # read once (while-body can't)
 
@@ -869,8 +869,13 @@ def _closest_kernel(instanced, nec, npc, flight, depth, gc, woop, bpe,
         pops_ref[0, 1] = 0
     else:
         t_ref, slot_ref, inst_ref = rest[:3]
-        epar_ref, e_ref, wc_ref, buf, sem = rest[3:]
+        rest = rest[3:]
         pops_ref = None
+    if vmem:
+        epar_ref, e_ref, wc_ref = rest
+        buf = sem = None
+    else:
+        epar_ref, e_ref, wc_ref, buf, sem = rest
     t_ref[:] = jnp.full(t_ref.shape, MISS_DISTANCE, jnp.float32)
     slot_ref[:] = jnp.full(slot_ref.shape, -1, jnp.int32)
     inst_ref[:] = jnp.zeros(inst_ref.shape, jnp.int32)
@@ -883,6 +888,8 @@ def _closest_kernel(instanced, nec, npc, flight, depth, gc, woop, bpe,
         laneW = jax.lax.broadcasted_iota(jnp.int32, (1, gc * CHUNK), 1)
 
         def dma(e, sl):
+            if vmem:
+                return _NoDma()      # resident blocks: nothing to move
             b = ent_blk_ref[e]
             return pltpu.make_async_copy(tri_hbm.at[pl.ds(b, bpe)],
                                          buf.at[sl], sem.at[sl])
@@ -894,13 +901,14 @@ def _closest_kernel(instanced, nec, npc, flight, depth, gc, woop, bpe,
             dma(eid, sl).wait()
             if pops_ref is not None:
                 pops_ref[0, 1] += 1
+            src = _TriView(tri_hbm, ent_blk_ref[eid]) if vmem else buf
             tox, toy, toz, tdx, tdy, tdz, inst = _entry_rays(
                 instanced, inv_ref, ent_inst_ref, eid,
                 ox, oy, oz, dx, dy, dz)
             for j in range(bpe):   # static unroll over member blocks;
                 #                    best-t tightens between halves
                 t_best = t_ref[:]
-                t = isect_fn(buf, sl, j, tox, toy, toz,
+                t = isect_fn(src, sl, j, tox, toy, toz,
                              tdx, tdy, tdz, t_best)
                 t_min = jnp.min(t, axis=1, keepdims=True)
                 better = t_min < t_best
@@ -910,7 +918,7 @@ def _closest_kernel(instanced, nec, npc, flight, depth, gc, woop, bpe,
                 # backward program: 1.9 ms/bounce as a serial gather).
                 win = t == t_min
                 gid = jnp.max(
-                    jnp.where(win, buf[sl, j, idr:idr + 1, :], -1.0),
+                    jnp.where(win, src[sl, j, idr:idr + 1, :], -1.0),
                     axis=1, keepdims=True)
                 t_ref[:] = jnp.where(better, t_min, t_best)
                 slot_ref[:] = jnp.where(better, gid.astype(jnp.int32),
@@ -931,10 +939,11 @@ def _closest_kernel(instanced, nec, npc, flight, depth, gc, woop, bpe,
 
 
 def _anyhit_kernel(instanced, nec, npc, flight, depth, gc, woop, bpe,
+                   vmem,
                    ent_blk_ref, ent_inst_ref, inv_ref,
                    ray_ref, aabb_ref, parent_ref, tri_hbm,
                    hit_ref,
-                   epar_ref, e_ref, wc_ref, buf, sem):
+                   epar_ref, e_ref, wc_ref, buf=None, sem=None):
     hit_ref[:] = jnp.zeros(hit_ref.shape, bool)
     valid = ray_ref[:, 6:7] > 0.0
     tmax = ray_ref[:, 7:8]
@@ -951,6 +960,8 @@ def _anyhit_kernel(instanced, nec, npc, flight, depth, gc, woop, bpe,
             return jnp.where(hit_ref[:], 0.0, tmax)
 
         def dma(e, sl):
+            if vmem:
+                return _NoDma()
             b = ent_blk_ref[e]
             return pltpu.make_async_copy(tri_hbm.at[pl.ds(b, bpe)],
                                          buf.at[sl], sem.at[sl])
@@ -959,12 +970,13 @@ def _anyhit_kernel(instanced, nec, npc, flight, depth, gc, woop, bpe,
 
         def intersect(eid, sl):
             dma(eid, sl).wait()
+            src = _TriView(tri_hbm, ent_blk_ref[eid]) if vmem else buf
             tox, toy, toz, tdx, tdy, tdz, _u = _entry_rays(
                 instanced, inv_ref, ent_inst_ref, eid,
                 ox, oy, oz, dx, dy, dz)
             for j in range(bpe):
                 cp = cap()
-                t = isect_fn(buf, sl, j, tox, toy, toz,
+                t = isect_fn(src, sl, j, tox, toy, toz,
                              tdx, tdy, tdz, cp)
                 hit_ref[:] = hit_ref[:] | jnp.any(
                     t < cp, axis=1, keepdims=True)
@@ -1014,48 +1026,99 @@ GC_MAX = 4         # chunks per drain window (see _traverse)
 
 
 def _common_specs(nec, npc, tile_r, flight, gc, rows=10, bpe=1,
-                  depth=2):
+                  depth=2, vmem_tris=False):
     smem = [pl.BlockSpec(memory_space=pltpu.SMEM) for _ in range(3)]
     in_specs = smem + [
         pl.BlockSpec((tile_r, 8), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pl.ANY),
+        # VMEM-resident tri blocks for small scenes (zero per-pop DMA);
+        # HBM + on-demand DMA beyond the budget (_vmem_tris_auto).
+        pl.BlockSpec(memory_space=pltpu.VMEM if vmem_tris else pl.ANY),
     ]
     scratch = [pltpu.VMEM((tile_r, npc * CHUNK), jnp.float32),
                pltpu.VMEM((tile_r, gc * CHUNK), jnp.float32),
-               pltpu.SMEM((gc,), jnp.int32),
-               pltpu.VMEM((depth * flight, bpe, rows, CHUNK),
-                          jnp.float32),
-               pltpu.SemaphoreType.DMA((depth * flight,))]
+               pltpu.SMEM((gc,), jnp.int32)]
+    if not vmem_tris:
+        scratch += [pltpu.VMEM((depth * flight, bpe, rows, CHUNK),
+                               jnp.float32),
+                    pltpu.SemaphoreType.DMA((depth * flight,))]
     return in_specs, scratch
+
+
+# VMEM triangle-residency budget: the whole blocked tri array moves
+# into VMEM when it fits comfortably beside the traversal scratch
+# (~1 MB) inside the ~16 MB/core VMEM. Measured motivation: the
+# round-5 tile sweep put the HBM kernel's per-pop cost at ~0.79 us
+# FIXED — largely the serial select->DMA->wait dependency — vs 0.21 us
+# of (R,128) VPU work; resident blocks delete the DMA leg entirely and
+# let selection run with ZERO staleness (depth=1).
+VMEM_TRI_BUDGET_BYTES = 6 * 1024 * 1024
+
+
+def _vmem_tris_auto(bs: "BlockedScene") -> bool:
+    return bs.tri.size * 4 <= VMEM_TRI_BUDGET_BYTES
+
+
+class _TriView:
+    """Adapter giving the VMEM-resident tri ref the same 4-axis
+    [slot, member, rows, lanes] indexing `_mt_block`/`_woop_block` use
+    on the DMA scratch buffer: slot is ignored (there are no buffer
+    slots), member j offsets consecutive blocks (blocks_per_entry)."""
+
+    def __init__(self, ref, block):
+        self.ref = ref
+        self.block = block
+
+    def __getitem__(self, idx):
+        _s, j, r, c = idx
+        return self.ref[self.block + j, r, c]
+
+
+class _NoDma:
+    def start(self):
+        pass
+
+    def wait(self):
+        pass
 
 
 @functools.partial(jax.jit,
                    static_argnames=("interpret", "tile_r", "flight",
-                                    "depth"))
+                                    "depth", "vmem_tris"))
 def closest_hit_scene(bs: BlockedScene, ray_o, ray_d, interpret=False,
-                      tile_r=TILE_R, flight=None, depth=2):
+                      tile_r=TILE_R, flight=None, depth=2,
+                      vmem_tris=None):
     """Closest hit. Returns (t, tri, inst): tri = GLOBAL triangle id
     (-1 on miss; extracted in-kernel from the block id row), inst =
-    instance id (0 for flat scenes)."""
+    instance id (0 for flat scenes).
+
+    vmem_tris (None = auto by `_vmem_tris_auto`): hold the whole
+    blocked tri array resident in VMEM — no per-pop DMA, selection at
+    zero staleness (flight=1/depth=1)."""
     r = ray_o.shape[0]
     rp = max((r + tile_r - 1) // tile_r, 1) * tile_r
     rays = _pack_rays(ray_o, ray_d,
                       jnp.full((r,), MISS_DISTANCE, jnp.float32), rp)
     nec, npc = bs.aabb.shape[0], bs.parent.shape[0]
-    flight = flight or _flight_for(bs.n_entries)
+    if vmem_tris is None:
+        vmem_tris = _vmem_tris_auto(bs)
+    if vmem_tris:
+        flight, depth = 1, 1
+    else:
+        flight = flight or _flight_for(bs.n_entries)
     gc = min(GC_MAX, nec)
     rows = bs.tri.shape[1]
     bpe = bs.blocks_per_entry
     in_specs, scratch = _common_specs(nec, npc, tile_r, flight, gc,
-                                      rows, bpe, depth)
+                                      rows, bpe, depth, vmem_tris)
     col = pl.BlockSpec((tile_r, 1), lambda i: (i, 0),
                        memory_space=pltpu.VMEM)
     t, slot, inst = pl.pallas_call(
         functools.partial(_closest_kernel, bs.instanced, nec, npc,
-                          flight, depth, gc, rows == 13, bpe, False),
+                          flight, depth, gc, rows == 13, bpe, False,
+                          vmem_tris),
         grid=(rp // tile_r,),
         in_specs=in_specs,
         out_specs=(col, col, col),
@@ -1071,9 +1134,10 @@ def closest_hit_scene(bs: BlockedScene, ray_o, ray_d, interpret=False,
 
 @functools.partial(jax.jit,
                    static_argnames=("interpret", "tile_r", "flight",
-                                    "depth"))
+                                    "depth", "vmem_tris"))
 def closest_hit_stats(bs: BlockedScene, ray_o, ray_d, interpret=False,
-                      tile_r=TILE_R, flight=None, depth=2):
+                      tile_r=TILE_R, flight=None, depth=2,
+                      vmem_tris=None):
     """closest_hit_scene + per-tile pop counters (perf diagnostics):
     returns (t, slot, inst, pops) with pops (n_tiles, 2) int32 =
     [chunk pops, entry intersections] per ray tile. Used by
@@ -1083,17 +1147,23 @@ def closest_hit_stats(bs: BlockedScene, ray_o, ray_d, interpret=False,
     rays = _pack_rays(ray_o, ray_d,
                       jnp.full((r,), MISS_DISTANCE, jnp.float32), rp)
     nec, npc = bs.aabb.shape[0], bs.parent.shape[0]
-    flight = flight or _flight_for(bs.n_entries)
+    if vmem_tris is None:
+        vmem_tris = _vmem_tris_auto(bs)
+    if vmem_tris:
+        flight, depth = 1, 1
+    else:
+        flight = flight or _flight_for(bs.n_entries)
     gc = min(GC_MAX, nec)
     rows = bs.tri.shape[1]
     bpe = bs.blocks_per_entry
     in_specs, scratch = _common_specs(nec, npc, tile_r, flight, gc,
-                                      rows, bpe, depth)
+                                      rows, bpe, depth, vmem_tris)
     col = pl.BlockSpec((tile_r, 1), lambda i: (i, 0),
                        memory_space=pltpu.VMEM)
     t, slot, inst, pops = pl.pallas_call(
         functools.partial(_closest_kernel, bs.instanced, nec, npc,
-                          flight, depth, gc, rows == 13, bpe, True),
+                          flight, depth, gc, rows == 13, bpe, True,
+                          vmem_tris),
         grid=(rp // tile_r,),
         in_specs=in_specs,
         out_specs=(col, col, col,
@@ -1112,24 +1182,30 @@ def closest_hit_stats(bs: BlockedScene, ray_o, ray_d, interpret=False,
 
 @functools.partial(jax.jit,
                    static_argnames=("interpret", "tile_r", "flight",
-                                    "depth"))
+                                    "depth", "vmem_tris"))
 def any_hit_scene(bs: BlockedScene, ray_o, ray_d, t_max, interpret=False,
-                  tile_r=TILE_R, flight=None, depth=2):
+                  tile_r=TILE_R, flight=None, depth=2, vmem_tris=None):
     """Occlusion test (True = some hit with t < t_max)."""
     r = ray_o.shape[0]
     rp = max((r + tile_r - 1) // tile_r, 1) * tile_r
     tm = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,))
     rays = _pack_rays(ray_o, ray_d, tm, rp)
     nec, npc = bs.aabb.shape[0], bs.parent.shape[0]
-    flight = flight or _flight_for(bs.n_entries)
+    if vmem_tris is None:
+        vmem_tris = _vmem_tris_auto(bs)
+    if vmem_tris:
+        flight, depth = 1, 1
+    else:
+        flight = flight or _flight_for(bs.n_entries)
     gc = min(GC_MAX, nec)
     rows = bs.tri.shape[1]
     bpe = bs.blocks_per_entry
     in_specs, scratch = _common_specs(nec, npc, tile_r, flight, gc,
-                                      rows, bpe, depth)
+                                      rows, bpe, depth, vmem_tris)
     hit = pl.pallas_call(
         functools.partial(_anyhit_kernel, bs.instanced, nec, npc,
-                          flight, depth, gc, rows == 13, bpe),
+                          flight, depth, gc, rows == 13, bpe,
+                          vmem_tris),
         grid=(rp // tile_r,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((tile_r, 1), lambda i: (i, 0),

@@ -228,3 +228,43 @@ def test_pair_pops_instanced(instanced):
     np.testing.assert_allclose(np.asarray(t)[hit], ref_t[hit],
                                rtol=1e-4, atol=1e-4)
     assert (np.asarray(inst)[hit] == np.asarray(ref.inst_idx)[hit]).all()
+
+
+def test_vmem_resident_matches_hbm(flat):
+    """VMEM-resident variant (no per-pop DMA, zero-staleness select —
+    kernels/trace_hbm.py _vmem_tris_auto) is bit-identical to the
+    HBM+DMA kernel on closest and any hit."""
+    _arrs, bs = flat
+    o, d = _rays(300, seed=9)
+    t0, s0, i0 = trace_hbm.closest_hit_scene(
+        bs, o, d, interpret=True, vmem_tris=False)
+    t1, s1, i1 = trace_hbm.closest_hit_scene(
+        bs, o, d, interpret=True, vmem_tris=True)
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+    np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
+    h0 = trace_hbm.any_hit_scene(bs, o, d, 1.5, interpret=True,
+                                 vmem_tris=False)
+    h1 = trace_hbm.any_hit_scene(bs, o, d, 1.5, interpret=True,
+                                 vmem_tris=True)
+    np.testing.assert_array_equal(np.asarray(h0), np.asarray(h1))
+
+
+def test_vmem_resident_instanced(instanced):
+    tl, bs = instanced
+    o, d = _rays(300, seed=11)
+    t0, s0, i0 = trace_hbm.closest_hit_scene(
+        bs, o, d, interpret=True, vmem_tris=False)
+    t1, s1, i1 = trace_hbm.closest_hit_scene(
+        bs, o, d, interpret=True, vmem_tris=True)
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+    np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+
+
+def test_vmem_auto_threshold():
+    """Auto policy: small scenes resident, the 1M-tri class is not."""
+    v0, v1, v2 = _tri_soup(200)
+    bs = trace_hbm.build_blocked_flat(v0, v1, v2, np.arange(200))
+    assert trace_hbm._vmem_tris_auto(bs)
+    big = bs.replace(tri=jnp.zeros((16384, 10, 128), jnp.float32))
+    assert not trace_hbm._vmem_tris_auto(big)
