@@ -358,7 +358,10 @@ class EditorState:
 
         import jax.numpy as jnp
 
-        with self.lock:
+        # edit_lock: scene writes must serialize with the other edit
+        # transactions — apply_edit's read-compute-write would otherwise
+        # clobber the background_intensity replace below.
+        with self.edit_lock, self.lock:
             self.settings = dataclasses.replace(
                 self.settings, path_length=int(bounces),
                 use_mis=bool(mis))

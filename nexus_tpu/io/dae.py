@@ -266,15 +266,21 @@ def _mesh_primitives(doc: _Doc, geom, sym_to_mat: dict[str, int]):
             off = int(inp.get("offset", "0"))
             sem = inp.get("semantic")
             src = _ref(inp.get("source"))
+            # Every input's offset counts toward the <p> stride, even
+            # inputs we drop (extra TEXCOORD sets, COLOR, TANGENT...) —
+            # skipping one before this line would misparse the whole
+            # index stream.
+            max_off = max(max_off, off)
             if sem == "VERTEX":
                 src = vert_pos_src or src
                 sem = "POSITION"
-            # First TEXCOORD set only (set attr ignored beyond the 1st)
+            if sem not in ("POSITION", "NORMAL", "TEXCOORD"):
+                continue
+            # First TEXCOORD set only.
             if sem == "TEXCOORD" and any(s == "TEXCOORD"
                                          for _, s, _ in inputs):
                 continue
             inputs.append((off, sem, src))
-            max_off = max(max_off, off)
         stride = max_off + 1
         if prim.tag == "polygons":
             polys = [_ints(p.text) for p in doc.all(prim, "p")]

@@ -1088,7 +1088,7 @@ class _NoDma:
                    static_argnames=("interpret", "tile_r", "flight",
                                     "depth", "vmem_tris"))
 def closest_hit_scene(bs: BlockedScene, ray_o, ray_d, interpret=False,
-                      tile_r=TILE_R, flight=None, depth=2,
+                      tile_r=TILE_R, flight=None, depth=None,
                       vmem_tris=None):
     """Closest hit. Returns (t, tri, inst): tri = GLOBAL triangle id
     (-1 on miss; extracted in-kernel from the block id row), inst =
@@ -1104,10 +1104,14 @@ def closest_hit_scene(bs: BlockedScene, ray_o, ray_d, interpret=False,
     nec, npc = bs.aabb.shape[0], bs.parent.shape[0]
     if vmem_tris is None:
         vmem_tris = _vmem_tris_auto(bs)
-    if vmem_tris:
-        flight, depth = 1, 1
-    else:
-        flight = flight or _flight_for(bs.n_entries)
+    # Explicit flight/depth are honored even under VMEM residency (the
+    # benchmark sweeps depend on it); only the DEFAULTS collapse to 1/1
+    # there — with no DMA to hide, extra flights/depth are pure
+    # selection staleness.
+    if flight is None:
+        flight = 1 if vmem_tris else _flight_for(bs.n_entries)
+    if depth is None:
+        depth = 1 if vmem_tris else 2
     gc = min(GC_MAX, nec)
     rows = bs.tri.shape[1]
     bpe = bs.blocks_per_entry
@@ -1136,7 +1140,7 @@ def closest_hit_scene(bs: BlockedScene, ray_o, ray_d, interpret=False,
                    static_argnames=("interpret", "tile_r", "flight",
                                     "depth", "vmem_tris"))
 def closest_hit_stats(bs: BlockedScene, ray_o, ray_d, interpret=False,
-                      tile_r=TILE_R, flight=None, depth=2,
+                      tile_r=TILE_R, flight=None, depth=None,
                       vmem_tris=None):
     """closest_hit_scene + per-tile pop counters (perf diagnostics):
     returns (t, slot, inst, pops) with pops (n_tiles, 2) int32 =
@@ -1149,10 +1153,14 @@ def closest_hit_stats(bs: BlockedScene, ray_o, ray_d, interpret=False,
     nec, npc = bs.aabb.shape[0], bs.parent.shape[0]
     if vmem_tris is None:
         vmem_tris = _vmem_tris_auto(bs)
-    if vmem_tris:
-        flight, depth = 1, 1
-    else:
-        flight = flight or _flight_for(bs.n_entries)
+    # Explicit flight/depth are honored even under VMEM residency (the
+    # benchmark sweeps depend on it); only the DEFAULTS collapse to 1/1
+    # there — with no DMA to hide, extra flights/depth are pure
+    # selection staleness.
+    if flight is None:
+        flight = 1 if vmem_tris else _flight_for(bs.n_entries)
+    if depth is None:
+        depth = 1 if vmem_tris else 2
     gc = min(GC_MAX, nec)
     rows = bs.tri.shape[1]
     bpe = bs.blocks_per_entry
@@ -1184,7 +1192,7 @@ def closest_hit_stats(bs: BlockedScene, ray_o, ray_d, interpret=False,
                    static_argnames=("interpret", "tile_r", "flight",
                                     "depth", "vmem_tris"))
 def any_hit_scene(bs: BlockedScene, ray_o, ray_d, t_max, interpret=False,
-                  tile_r=TILE_R, flight=None, depth=2, vmem_tris=None):
+                  tile_r=TILE_R, flight=None, depth=None, vmem_tris=None):
     """Occlusion test (True = some hit with t < t_max)."""
     r = ray_o.shape[0]
     rp = max((r + tile_r - 1) // tile_r, 1) * tile_r
@@ -1193,10 +1201,14 @@ def any_hit_scene(bs: BlockedScene, ray_o, ray_d, t_max, interpret=False,
     nec, npc = bs.aabb.shape[0], bs.parent.shape[0]
     if vmem_tris is None:
         vmem_tris = _vmem_tris_auto(bs)
-    if vmem_tris:
-        flight, depth = 1, 1
-    else:
-        flight = flight or _flight_for(bs.n_entries)
+    # Explicit flight/depth are honored even under VMEM residency (the
+    # benchmark sweeps depend on it); only the DEFAULTS collapse to 1/1
+    # there — with no DMA to hide, extra flights/depth are pure
+    # selection staleness.
+    if flight is None:
+        flight = 1 if vmem_tris else _flight_for(bs.n_entries)
+    if depth is None:
+        depth = 1 if vmem_tris else 2
     gc = min(GC_MAX, nec)
     rows = bs.tri.shape[1]
     bpe = bs.blocks_per_entry

@@ -56,46 +56,32 @@ def compact_src(live: jnp.ndarray):
     r = live.shape[0]
     pos = jnp.cumsum(live.astype(jnp.int32)) - 1
     dest = jnp.where(live, pos, r)  # dead lanes scatter out of bounds
+    # No unique_indices promise: every dead lane shares the duplicate
+    # out-of-bounds index r, and the contract leaves duplicate-promised
+    # scatters undefined — mode="drop" alone is what discards them.
     src = jnp.full((r,), -1, jnp.int32).at[dest].set(
-        jnp.arange(r, dtype=jnp.int32), mode="drop", unique_indices=True)
+        jnp.arange(r, dtype=jnp.int32), mode="drop")
     return src, pos
 
 
 def compacted_any_hit(any_hit_fn, ray_o, ray_d, t_max, live):
-    """Occlusion-test only the live lanes, densely packed.
-
-    any_hit_fn(o, d, t_max) -> (R,) bool on full-width arrays; dead
-    dense slots get t_max = 0 (the kernel keeps nothing alive for
-    them). Returns the full-width occlusion mask (False where dead).
-    """
-    src, pos = compact_src(live)
-    srcc = jnp.maximum(src, 0)
-    ok = src >= 0
-    hit_c = any_hit_fn(ray_o[srcc], ray_d[srcc],
-                       jnp.where(ok, t_max[srcc], 0.0))
-    return live & hit_c[jnp.where(live, pos, 0)]
+    """Occlusion-test only the live lanes, densely packed — the
+    always-compact entry point. Thin alias over `adaptive_any_hit`
+    with the occupancy gate pinned past 1 (ONE implementation of the
+    pack/trace/scatter-back logic; the adaptive branches are what
+    production ships through scene/view.py). Returns the full-width
+    occlusion mask (False where dead)."""
+    return adaptive_any_hit(any_hit_fn, ray_o, ray_d, t_max, live,
+                            thresh=1.001)
 
 
-def compacted_closest_hit(closest_fn, ray_o, ray_d, live,
-                          miss_t=_PARK_ORIGIN):
-    """Closest-hit only the live lanes, densely packed.
-
-    closest_fn(o, d) -> (t, tri, inst) on full-width arrays; dead dense
-    slots are parked at +1e30 origin (trace_hbm._pack_rays marks them
-    invalid). Returns full-width (t, tri, inst) with t = miss_t,
-    tri = -1, inst = 0 on dead lanes.
-    """
-    src, pos = compact_src(live)
-    srcc = jnp.maximum(src, 0)
-    ok = (src >= 0)[:, None]
-    o_c = jnp.where(ok, ray_o[srcc], _PARK_ORIGIN)
-    d_c = jnp.where(ok, ray_d[srcc], 1.0)
-    t_c, tri_c, inst_c = closest_fn(o_c, d_c)
-    back = jnp.where(live, pos, 0)
-    t = jnp.where(live, t_c[back], miss_t)
-    tri = jnp.where(live, tri_c[back], -1)
-    inst = jnp.where(live, inst_c[back], 0)
-    return t, tri, inst
+def compacted_closest_hit(closest_fn, ray_o, ray_d, live):
+    """Closest-hit only the live lanes, densely packed (alias over
+    `adaptive_closest_hit`, gate pinned past 1 — see
+    compacted_any_hit). Returns full-width (t, tri, inst) with
+    t = +1e30, tri = -1, inst = 0 on dead lanes."""
+    return adaptive_closest_hit(closest_fn, ray_o, ray_d, live,
+                                thresh=1.001)
 
 
 # Sliced-launch bucket: when the compacted queue fits in R/_BUCKET_DIV

@@ -357,3 +357,49 @@ def test_fail_fast_names_new_formats(tmp_path):
         add_model(SceneBuilder(), bad)
     for tok in (".dae", ".3ds", ".fbx", "glTF"):
         assert tok in str(e.value)
+
+
+def test_dae_extra_input_sets_keep_stride(tmp_path):
+    """Dropped inputs (2nd TEXCOORD set, COLOR) still count toward the
+    <p> stride — skipping one misparses the whole index stream
+    (round-5 review finding)."""
+    gid = "g"
+    body = f"""
+  <library_geometries>
+    <geometry id="{gid}"><mesh>
+      <source id="{gid}-pos">
+        <float_array id="{gid}-pos-arr" count="9">
+          0 0 0  1 0 0  0 1 0</float_array>
+        <technique_common>
+          <accessor source="#{gid}-pos-arr" count="3" stride="3"/>
+        </technique_common>
+      </source>
+      <source id="{gid}-uv">
+        <float_array id="{gid}-uv-arr" count="6">0 0 1 0 0 1</float_array>
+        <technique_common>
+          <accessor source="#{gid}-uv-arr" count="3" stride="2"/>
+        </technique_common>
+      </source>
+      <vertices id="{gid}-vtx">
+        <input semantic="POSITION" source="#{gid}-pos"/>
+      </vertices>
+      <triangles count="1">
+        <input semantic="VERTEX" source="#{gid}-vtx" offset="0"/>
+        <input semantic="TEXCOORD" source="#{gid}-uv" offset="1" set="0"/>
+        <input semantic="TEXCOORD" source="#{gid}-uv" offset="2" set="1"/>
+        <input semantic="COLOR" source="#{gid}-uv" offset="3"/>
+        <p>0 0 2 1  1 1 1 2  2 2 0 0</p>
+      </triangles>
+    </mesh></geometry>
+  </library_geometries>"""
+    p = tmp_path / "multiset.dae"
+    p.write_text(_dae_doc(body))
+    meshes, _ = dae.load(p)
+    assert len(meshes) == 1
+    m = meshes[0]
+    assert m.faces.shape == (1, 3)
+    assert m.positions.shape == (3, 3)
+    # First TEXCOORD set wins: corner uvs are (0,0),(1,0),(0,1)
+    # indexed 0,1,2 via offset 1 — not the set-1/COLOR columns.
+    np.testing.assert_allclose(
+        m.uvs[m.faces[0]], [[0, 0], [1, 0], [0, 1]])
