@@ -31,6 +31,10 @@ as a browser panel over a headless render loop:
     nothing;
   - SAVE SCREENSHOT writes the current tone-mapped frame to a
     timestamped PNG on the server host (Renderer.cpp:183-215);
+  - CLICK-TO-PICK: a viewport click traces one camera ray and selects
+    the hit instance in the hierarchy panel (the reference's pixel
+    query, Renderer.cpp:131-142 / PathTracer.cpp:310-317 — the /pick
+    endpoint reuses apps/render.py query_pixel);
   - RENDER SETTINGS edits path length and the MIS toggle (static jit
     arguments — applying them recompiles once, which the panel warns
     about) plus background intensity (traced, free).
@@ -131,6 +135,7 @@ async function refresh(){
   const list = document.getElementById('list');
   for (const inst of s.instances) {
     const d = document.createElement('div'); d.className = 'inst';
+    d.id = 'instdiv' + inst.id;
     d.innerHTML = `<b>#${inst.id} ${inst.name}</b><br>
       t <input id=tx${inst.id} value=${inst.t[0]}>
         <input id=ty${inst.id} value=${inst.t[1]}>
@@ -175,6 +180,26 @@ async function applySettings(){
     mis:document.getElementById('rmis').checked?1:0, bg:num('rbg')});
   await fetch('/edit_settings?'+q.toString(), {method:'POST'});
 }
+// Click-to-pick (the reference's pixel query, Renderer.cpp:131-142 /
+// PathTracer.cpp:310-317): a viewport click traces one camera ray and
+// selects the hit instance in the hierarchy panel.
+document.getElementById('im').addEventListener('click', async (ev)=>{
+  const im = ev.target, r = im.getBoundingClientRect();
+  const x = Math.floor((ev.clientX - r.left) / r.width * im.naturalWidth);
+  const y = Math.floor((ev.clientY - r.top) / r.height * im.naturalHeight);
+  const p = await (await fetch(`/pick?x=${x}&y=${y}`)).json();
+  document.querySelectorAll('.inst').forEach(d=>d.style.borderColor='#333');
+  if (p.hit) {
+    document.getElementById('status').textContent =
+      `picked inst #${p.instance} mat #${p.material} t=${p.t.toFixed(3)}`;
+    const d = document.getElementById('instdiv' + p.instance);
+    if (d) { d.style.borderColor = '#8ab4ff';
+             d.scrollIntoView({block:'nearest'}); }
+  } else {
+    document.getElementById('status').textContent =
+      `pick (${x},${y}): miss`;
+  }
+});
 // Fly camera (the reference's WASD navigation, Camera.cpp:37-100):
 // WASD moves in the view plane, Q/E down/up, arrows orbit the look-at
 // point. Each keypress updates the fields and applies immediately
@@ -353,6 +378,17 @@ class EditorState:
                 self.scene = scene
                 self.epoch += 1
 
+    def pick(self, x, y):
+        """Pixel query: trace one center ray through image pixel (x, y)
+        and report the hit instance/material/triangle — the reference's
+        click-to-pick (Renderer.cpp:131-142, PathTracer.cpp:310-317),
+        served to the viewport's click handler."""
+        from nexus_tpu.apps.render import query_pixel
+
+        with self.lock:
+            scene = self.scene
+        return query_pixel(scene, x, y)
+
     def apply_settings(self, bounces, mis, bg):
         import dataclasses
 
@@ -448,6 +484,16 @@ def make_handler(st: EditorState):
             elif path == "/state":
                 self._send(200, "application/json",
                            json.dumps(st.snapshot_state()).encode())
+            elif path == "/pick":
+                q = {k: v[0] for k, v in
+                     parse_qs(urlparse(self.path).query).items()}
+                try:
+                    out = st.pick(int(q["x"]), int(q["y"]))
+                    self._send(200, "application/json",
+                               json.dumps(out).encode())
+                except Exception as e:
+                    self._send(400, "application/json",
+                               json.dumps({"error": str(e)}).encode())
             else:
                 self.send_error(404)
 

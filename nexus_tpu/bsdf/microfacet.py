@@ -16,7 +16,11 @@ def alpha_from_roughness(roughness: jnp.ndarray, wi_z: jnp.ndarray) -> jnp.ndarr
     alpha = clamp((1.2 - 0.2*sqrt(|wi.z|)) * roughness^2, 1e-4, 1)
     (e.g. DielectricBSDF.cuh:24).
     """
-    a = (1.2 - 0.2 * jnp.sqrt(jnp.abs(wi_z))) * roughness * roughness
+    # sqrt floored away from 0: d sqrt(|z|)/dz at z = 0 is NaN (0/0),
+    # and grazing lanes with wi_z exactly 0 exist whenever geometry is
+    # axis-aligned; the 1e-12 floor changes alpha by <= 2e-7 * r².
+    a = (1.2 - 0.2 * jnp.sqrt(jnp.maximum(jnp.abs(wi_z), 1.0e-12))) \
+        * roughness * roughness
     return jnp.clip(a, 1.0e-4, 1.0)
 
 
@@ -25,7 +29,18 @@ def beckmann_d(alpha: jnp.ndarray, m_dot_n: jnp.ndarray) -> jnp.ndarray:
     alpha_sq = alpha * alpha
     cos_sq = m_dot_n * m_dot_n
     cos_sq_safe = jnp.maximum(cos_sq, 1.0e-12)
-    num = jnp.exp((cos_sq_safe - 1.0) / (alpha_sq * cos_sq_safe))
+    # Exponent in the algebraically equal form (1 - 1/c) / a² — NOT
+    # (c-1)/(a²c): that quotient's transpose computes u/v² with
+    # v = a²c as small as 1e-20, and v² = 1e-40 overflows f32 to inf;
+    # 0·inf = NaN then poisons reverse-mode roughness/ior gradients on
+    # lanes every caller masks out (found as the non-finite-gradient
+    # failure of the 10-bounce bench configs — the NEE eval of glancing
+    # half-vectors hits m_z² ≈ 1e-12 routinely). The factored form's
+    # transposes are bounded (1/c ≤ 1e12, 1/a⁴ ≤ 1e16 separately), and
+    # the -87 floor (exp(-87) ≈ 1.6e-38 ≈ 0 in f32) zeroes the clamp
+    # branch's gradient exactly where the true derivative underflows.
+    x = (1.0 - 1.0 / cos_sq_safe) / alpha_sq
+    num = jnp.exp(jnp.maximum(x, -87.0))
     den = jnp.pi * alpha_sq * cos_sq_safe * cos_sq_safe
     # _guarded_div, not /: den can reach ~1e-24 at grazing m; the division
     # transpose computes den**-2 which overflows to inf in f32, and

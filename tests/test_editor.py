@@ -124,3 +124,21 @@ def test_camera_defocus_and_screenshot(server, tmp_path):
     assert r["ok"] and r["path"].endswith(".png")
     assert os.path.exists(r["path"]) and os.path.getsize(r["path"]) > 100
     os.remove(r["path"])
+
+
+def test_pick_endpoint(server):
+    """Viewport click-to-pick (the reference's pixel query,
+    Renderer.cpp:131-142): center pixel of the demo cornell scene hits
+    an instance; the response carries instance/material/t."""
+    out = json.loads(urllib.request.urlopen(
+        server + "/pick?x=12&y=12", timeout=60).read())
+    assert out["pixel"] == [12, 12]
+    assert out["hit"] is True
+    assert out["instance"] >= 0 and out["material"] >= 0
+    assert out["t"] > 0
+    # Out-of-range pixel surfaces a clean error, not a 500.
+    try:
+        urllib.request.urlopen(server + "/pick?x=9999&y=0", timeout=30)
+        raise AssertionError("expected HTTP 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
