@@ -26,8 +26,14 @@ if not os.environ.get("NEXUS_TEST_TPU"):
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 # Persistent compile cache: the suite is compile-bound (multi-device
-# grad tests alone cost ~1 min of XLA time); warm runs drop well under
-# the 5-minute budget. Safe on every backend.
+# grad tests alone cost ~1 min of XLA time). Budget note (round 5):
+# 194 default tests run in ~8:30 warm — the original 5-minute budget
+# predates the optimizer, remat, compaction, grad-safety, and importer
+# suites (+60 tests). The six >20 s tests (inverse-rendering recovery
+# and equivalence, remat-grad bit-match, analytic radiance) each carry
+# a load-bearing numeric contract; trimming steps weakens them below
+# their measured assertion margins, so the depth-heavy variants sit
+# behind `-m slow` and the defaults stay. Safe on every backend.
 from nexus_tpu.core.cache import enable_compile_cache  # noqa: E402
 
 enable_compile_cache()
