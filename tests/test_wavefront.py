@@ -6,6 +6,7 @@ integrators produce bit-identical images (verified on chip too)."""
 
 import numpy as np
 import pytest
+import jax
 import jax.numpy as jnp
 
 from nexus_tpu.core.config import RenderSettings
@@ -47,3 +48,28 @@ def test_pixel_subset_shardable():
         scene, settings, jnp.arange(100, 200, dtype=jnp.int32),
         jnp.uint32(0)))
     np.testing.assert_allclose(part, full[100:200], rtol=1e-5, atol=1e-6)
+
+
+def test_matches_megakernel_deep_paths():
+    """Equivalence at the reference's DEFAULT depth (path_length=10,
+    RenderSettings.h:7) — the deep regime flips the compaction
+    economics (docs/perf.md) and its first bench runs exposed the
+    Beckmann-transpose gradient bug, so it gets its own gate: values
+    identical between integrators AND the value+grad program finite."""
+    scene = _scene()
+    settings = RenderSettings(width=24, height=24, path_length=10)
+    a = np.asarray(megakernel.render(scene, settings, n_samples=2))
+    c = np.asarray(wavefront.render(scene, settings, n_samples=2))
+    assert np.isfinite(c).all()
+    np.testing.assert_allclose(c, a, rtol=1e-5, atol=1e-6)
+
+    def loss(materials):
+        img = wavefront.render_pixels(
+            scene.replace(materials=materials), settings,
+            jnp.arange(24 * 24, dtype=jnp.int32), jnp.uint32(0))
+        return jnp.mean(jnp.clip(img, 0.0, 10.0))
+
+    g = jax.grad(loss, allow_int=True)(scene.materials)
+    for leaf in jax.tree_util.tree_leaves(g):
+        if hasattr(leaf, "dtype") and leaf.dtype.kind == "f":
+            assert bool(jnp.all(jnp.isfinite(leaf)))
