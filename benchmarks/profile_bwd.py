@@ -87,6 +87,9 @@ def main():
     elif args.scene == "cornell_sphere":
         scene = scenes.glass_scene(r, r)
         args.bounces = 4
+    elif args.scene == "instanced":
+        scene = scenes.instanced_env_scene(r, r, n_inst=25, subdiv=4)
+        args.bounces = 4
     else:
         scene = scenes.glass_scene(r, r)
     settings = RenderSettings(width=r, height=r,

@@ -342,6 +342,11 @@ def render_pixels(scene: SceneData, settings: RenderSettings,
     the RNG is keyed on (pixel, sample) so results are identical however
     pixels are partitioned across devices (SURVEY.md §4 shard-equivalence).
     """
+    # Hoist the texture neighborhood sheet out of the bounce scan: the
+    # per-tap build inside the scan body is rebuilt every bounce (and
+    # its transpose every reverse bounce — the top instanced-bwd sink,
+    # docs/perf.md round 5).
+    scene = scene.replace(textures=textures.with_quad(scene.textures))
     n = pixel_idx.shape[0]
     state = rng.init_state(pixel_idx.astype(jnp.uint32), sample_idx)
 

@@ -68,6 +68,11 @@ def render_pixels(scene: SceneData, settings: RenderSettings,
     same estimator); preferable whenever the Pallas trace kernel is in
     use — sorted tiles cull better and dead tiles cost nothing.
     """
+    from nexus_tpu.scene import textures as _textures
+
+    # Hoist the texture neighborhood sheet out of the bounce scan
+    # (see megakernel.render_pixels / docs/perf.md round 5).
+    scene = scene.replace(textures=_textures.with_quad(scene.textures))
     n = pixel_idx.shape[0]
     state = rng.init_state(pixel_idx.astype(jnp.uint32), sample_idx)
 

@@ -51,6 +51,17 @@ class TextureAtlas:
     # untextured scenes otherwise (measured via profile: textures.py
     # taps dominated the cornell shade time).
     empty: bool = flax.struct.field(pytree_node=False, default=False)
+    # Precomputed (H, W, 16) 2x2-neighborhood sheet (`with_quad`).
+    # When present, `sample` skips the in-program build entirely. The
+    # build is loop-INVARIANT but sits inside the lax.scan over bounces
+    # (and samples) when done at the tap site, and XLA does not hoist
+    # the materialized sheet out of the loop: the round-5 instanced
+    # backward profile showed the rebuilt sheet's async slices as the
+    # single largest bwd sink (56.7 ms/call vs 26 ms of trace kernels).
+    # Renderers call `with_quad` ONCE per program before the scan, so
+    # the sheet is built once and its transpose (the texel-gradient
+    # scatter) runs once per sample instead of once per bounce.
+    quad: jnp.ndarray | None = None
 
     @property
     def count(self) -> int:
@@ -105,6 +116,30 @@ def build_atlas(images: list) -> TextureAtlas:
                         empty=empty)
 
 
+def build_quad(atlas: TextureAtlas) -> jnp.ndarray:
+    """(H, W, 16) 2x2-neighborhood sheet from the atlas data + wrapped
+    neighbor maps — differentiable w.r.t. `data` (a gather; its
+    transpose scatters tap cotangents back onto the texels)."""
+    d = atlas.data
+    rows = jnp.broadcast_to(jnp.arange(d.shape[0])[:, None],
+                            atlas.nx1.shape)
+    cols = jnp.broadcast_to(jnp.arange(d.shape[1])[None, :],
+                            atlas.ny1.shape)
+    c10s = d[rows, atlas.nx1]
+    c01s = d[atlas.ny1, cols]
+    c11s = d[atlas.ny1, atlas.nx1]
+    return jnp.concatenate([d, c10s, c01s, c11s], axis=-1)
+
+
+def with_quad(atlas: TextureAtlas) -> TextureAtlas:
+    """Attach the precomputed neighborhood sheet (no-op for the empty
+    atlas and when already attached). Renderers call this ONCE per
+    program before the bounce scan — see the `quad` field doc."""
+    if atlas.empty or atlas.quad is not None:
+        return atlas
+    return atlas.replace(quad=build_quad(atlas))
+
+
 def sample(atlas: TextureAtlas, tex_id: jnp.ndarray,
            uv: jnp.ndarray) -> jnp.ndarray:
     """Bilinear wrap-mode sample. tex_id (...,) int32, uv (..., 2).
@@ -138,21 +173,15 @@ def sample(atlas: TextureAtlas, tex_id: jnp.ndarray,
     x0i = x0r + wrap(x0, w)
     y0i = y0r + wrap(y0, h)
 
-    # 2x2-neighborhood sheet built in-program from `data` (so texel
-    # gradients still reach the trainable atlas) using the precomputed
-    # wrapped-neighbor maps; identical across a program's tap sites, so
-    # XLA CSEs it to one build. The tap itself is then a SINGLE
-    # N-index gather of 16 floats instead of four 4-float gathers —
-    # the per-index cost is what dominates (docs/perf.md).
-    d = atlas.data
-    rows = jnp.broadcast_to(jnp.arange(d.shape[0])[:, None],
-                            atlas.nx1.shape)
-    cols = jnp.broadcast_to(jnp.arange(d.shape[1])[None, :],
-                            atlas.ny1.shape)
-    c10s = d[rows, atlas.nx1]
-    c01s = d[atlas.ny1, cols]
-    c11s = d[atlas.ny1, atlas.nx1]
-    quad = jnp.concatenate([d, c10s, c01s, c11s], axis=-1)  # (H, W, 16)
+    # 2x2-neighborhood sheet: prebuilt once per program when the
+    # renderer called `with_quad` (the hoisted path — see the field
+    # doc), else built in-program from `data` here (texel gradients
+    # reach the trainable atlas either way; the in-place build is
+    # CSE'd across a program's tap sites but NOT across scan
+    # iterations). The tap itself is then a SINGLE N-index gather of
+    # 16 floats instead of four 4-float gathers — the per-index cost
+    # is what dominates (docs/perf.md).
+    quad = atlas.quad if atlas.quad is not None else build_quad(atlas)
 
     q = quad[y0i, x0i]                                      # (..., 16)
     c00, c10, c01, c11 = (q[..., 0:4], q[..., 4:8],
