@@ -23,17 +23,10 @@ Layer map (mirrors SURVEY.md §7):
 
 __version__ = "0.1.0"
 
-import os as _os
-
-if _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
-    # Persistent caching was enabled via env vars, bypassing
-    # core.cache.enable_compile_cache — harden it here so EVERY entry
-    # point (editor, pytest, ad-hoc scripts) gets the same protection:
-    # XLA:CPU's embedded AOT kernel caches are ISA-specific and
-    # segfault when deserialized on a different host generation (this
-    # environment schedules sessions across heterogeneous hosts), so
-    # they must be disabled and the cache dir partitioned by CPU
-    # fingerprint (core/cache.py).
-    from nexus_tpu.core.cache import enable_compile_cache as _ecc
-
-    _ecc()
+# Importing the package has no side effects (no jax import, no global
+# config writes): persistent-cache hardening (core/cache.py — XLA:CPU
+# AOT entries are ISA-specific and segfault across host generations)
+# is applied by every shipped entry point calling
+# enable_compile_cache() explicitly (apps/render.py, apps/editor.py,
+# bench.py, tests/conftest.py, tools/, benchmarks/). Ad-hoc scripts
+# that enable caching via JAX env vars should do the same.

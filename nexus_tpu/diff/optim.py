@@ -30,6 +30,7 @@ rendering setup.
 from __future__ import annotations
 
 import os
+import warnings
 from typing import Callable, Iterable
 
 import jax
@@ -243,9 +244,13 @@ class CheckpointMismatchError(RuntimeError):
 def load_checkpoint(path: str, params_like, opt_state_like):
     """Restore (step, params, opt_state); *_like provide structure.
 
-    Raises CheckpointMismatchError when the saved tree structure or
-    leaf shapes/dtypes disagree with *_like (e.g. resuming after
-    changing param groups, the optimizer, or scene shapes)."""
+    Raises CheckpointMismatchError when the saved leaf shapes/dtypes
+    disagree with *_like (e.g. resuming after changing param groups,
+    the optimizer, or scene shapes). A treedef-repr difference with
+    IDENTICAL leaf shapes/dtypes only warns: treedef strings embed
+    library-internal type reprs (e.g. optax state class names) that
+    change across jax/optax versions, and a positional restore of
+    shape-matched leaves is still well-defined."""
     with np.load(path) as z:
         for key, like, what in (("sig_p", params_like, "params"),
                                 ("sig_o", opt_state_like, "opt_state")):
@@ -253,13 +258,21 @@ def load_checkpoint(path: str, params_like, opt_state_like):
                 want = _tree_sig(like)
                 got = str(z[key])
                 if got != want:
-                    raise CheckpointMismatchError(
-                        f"checkpoint structure mismatch for {what}: "
-                        f"saved {got!r} but the current fit expects "
-                        f"{want!r} — the checkpoint was written with "
-                        "different param groups, optimizer, or scene "
-                        "shapes; delete it or restore the original "
-                        "configuration")
+                    want_shapes = want.rsplit("|", 1)[-1]
+                    got_shapes = got.rsplit("|", 1)[-1]
+                    if got_shapes != want_shapes:
+                        raise CheckpointMismatchError(
+                            f"checkpoint structure mismatch for {what}: "
+                            f"saved {got!r} but the current fit expects "
+                            f"{want!r} — the checkpoint was written with "
+                            "different param groups, optimizer, or scene "
+                            "shapes; delete it or restore the original "
+                            "configuration")
+                    warnings.warn(
+                        f"checkpoint treedef repr for {what} differs "
+                        "(library version change?) but every leaf "
+                        "shape/dtype matches; restoring positionally",
+                        stacklevel=2)
         leaves_p, treedef_p = jax.tree_util.tree_flatten(params_like)
         leaves_o, treedef_o = jax.tree_util.tree_flatten(opt_state_like)
         params = jax.tree_util.tree_unflatten(

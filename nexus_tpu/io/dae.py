@@ -319,6 +319,8 @@ def _mesh_primitives(doc: _Doc, geom, sym_to_mat: dict[str, int]):
             if src_el is None:
                 continue
             data = _source_array(doc, src_el)
+            if len(data) == 0:   # declared input, empty <float_array>:
+                continue         # skip the attribute, keep the geometry
             sel = np.clip(uniq[:, off], 0, len(data) - 1)
             if sem == "POSITION":
                 pos = data[sel][:, :3].astype(np.float32)

@@ -19,7 +19,8 @@ Every chunk is (u16 id, u32 length-incl-header) little-endian; unknown
 chunks are skipped by length, so files with keyframer data (0xB000),
 lights, or cameras load their geometry cleanly. 3DS stores meshes in a
 Z-up world; coordinates are converted to the renderer's Y-up
-((x, y, z) → (x, z, -y)) and faces rewound to keep orientation. The
+((x, y, z) → (x, z, -y)) — a proper rotation (det = +1), so face
+winding is preserved as-is, no index rewind needed. The
 per-mesh 0x4160 local-axis chunk is pivot metadata (vertices are stored
 already transformed) and is ignored, which matches how flat importers
 treat it. 3DS has no normals — the scene builder's geometric-normal

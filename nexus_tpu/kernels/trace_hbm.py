@@ -352,22 +352,6 @@ def _bsp_order(centers, leaf=None):
     return out
 
 
-def _morton3(points):
-    """30-bit 3D Morton codes of (N, 3) points (normalized per-axis)."""
-    span = points.max(axis=0) - points.min(axis=0)
-    q = ((points - points.min(axis=0)) /
-         np.maximum(span, 1e-20) * 1023.0).astype(np.uint64)
-
-    def spread(x):  # interleave bits (10 -> 30)
-        x = (x | (x << 16)) & 0x030000FF
-        x = (x | (x << 8)) & 0x0300F00F
-        x = (x | (x << 4)) & 0x030C30C3
-        x = (x | (x << 2)) & 0x09249249
-        return x
-
-    return spread(q[:, 0]) | (spread(q[:, 1]) << 1) | (spread(q[:, 2]) << 2)
-
-
 def _pack_entries(world_lo, world_hi, ent_block, ent_inst):
     """BSP-cluster entries by AABB center, pad to a CHUNK multiple with
     +BIG sentinel boxes (rejected by the slab pass's validity mask),
@@ -721,8 +705,9 @@ def _pipelined_pops(k, depth, select_fn, dma_fn, hit_fn):
     memory with compute while keeping the working set honest.) The
     round-5 tile-sweep fit put the per-pop FIXED cost at ~0.79 us —
     largely un-hidden DMA wait — which is what extra depth attacks;
-    staleness costs extra pops, so depth is swept per scene class
-    (_depth_for, docs/perf.md).
+    staleness costs extra pops, so depth is 1 on VMEM-resident scenes
+    (no DMA to hide) and 2 on the HBM path — set inline at each kernel
+    entry point; the sweep evidence is in docs/perf.md.
 
     select_fn() -> list of k consumed entry ids (-1-padded);
     dma_fn(eid, slot) -> async copy handle; hit_fn(eid, slot) waits and

@@ -100,7 +100,10 @@ def _route(live, thresh):
     sliced to R // _BUCKET_DIV."""
     r = live.shape[0]
     nl = jnp.sum(live.astype(jnp.int32))
-    idx = jnp.where(nl >= jnp.int32(thresh * r), 0, 1)
+    # Float compare: int32(thresh * r) truncates, so a thresh pinned
+    # past 1 (the always-compact entry points) would still route a
+    # fully-live queue direct whenever int(thresh*r) == r.
+    idx = jnp.where(nl.astype(jnp.float32) >= thresh * r, 0, 1)
     if r % _BUCKET_ALIGN == 0:
         idx = jnp.where((idx == 1) & (nl <= r // _BUCKET_DIV), 2, idx)
     return idx

@@ -158,3 +158,13 @@ def test_bucketed_launch_matches_direct():
     np.testing.assert_array_equal(np.asarray(h)[lv],
                                   np.asarray(h_ref)[lv])
     assert not np.asarray(h)[~lv].any()
+
+
+@pytest.mark.parametrize("r", [300, 256, 1024])
+def test_route_pinned_thresh_never_direct(r):
+    """A gate pinned past 1 (the always-compact entry points) must
+    never route direct. Regression: int32(thresh * r) truncated, so
+    thresh=1.001 with r=300 gave nl >= 300 at full occupancy and the
+    'always-compact' wrappers silently validated the direct path."""
+    live = jnp.ones((r,), bool)
+    assert int(compact._route(live, 1.001)) != 0

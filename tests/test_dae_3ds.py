@@ -403,3 +403,49 @@ def test_dae_extra_input_sets_keep_stride(tmp_path):
     # indexed 0,1,2 via offset 1 — not the set-1/COLOR columns.
     np.testing.assert_allclose(
         m.uvs[m.faces[0]], [[0, 0], [1, 0], [0, 1]])
+
+
+def test_dae_empty_source_skips_attribute(tmp_path):
+    """A declared input whose <float_array> is empty loses only that
+    attribute; the geometry itself still loads (the module's fail-soft
+    contract). Regression: data[np.clip(idx, 0, -1)] on the 0-row
+    array raised IndexError and aborted the whole load."""
+    body = """
+  <library_geometries>
+    <geometry id="egeo"><mesh>
+      <source id="egeo-pos">
+        <float_array id="egeo-pos-arr" count="9">
+          0 0 0  1 0 0  0 1 0</float_array>
+        <technique_common>
+          <accessor source="#egeo-pos-arr" count="3" stride="3"/>
+        </technique_common>
+      </source>
+      <source id="egeo-nrm">
+        <float_array id="egeo-nrm-arr" count="0"></float_array>
+        <technique_common>
+          <accessor source="#egeo-nrm-arr" count="0" stride="3"/>
+        </technique_common>
+      </source>
+      <vertices id="egeo-vtx">
+        <input semantic="POSITION" source="#egeo-pos"/>
+      </vertices>
+      <polylist count="1">
+        <input semantic="VERTEX" source="#egeo-vtx" offset="0"/>
+        <input semantic="NORMAL" source="#egeo-nrm" offset="1"/>
+        <vcount>3</vcount>
+        <p>0 0  1 0  2 0</p>
+      </polylist>
+    </mesh></geometry>
+  </library_geometries>
+  <library_visual_scenes>
+    <visual_scene id="vs">
+      <node id="n1"><instance_geometry url="#egeo"/></node>
+    </visual_scene>
+  </library_visual_scenes>
+  <scene><instance_visual_scene url="#vs"/></scene>"""
+    p = tmp_path / "empty_nrm.dae"
+    p.write_text(_dae_doc(body))
+    (m,), _ = dae.load(p)
+    assert m.faces.shape == (1, 3)
+    assert m.positions.shape == (3, 3)
+    assert m.normals is None          # attribute skipped, not fatal

@@ -161,3 +161,29 @@ def test_fit_sharded_matches_single(cornell, settings):
     np.testing.assert_allclose(np.asarray(s1.materials.albedo),
                                np.asarray(s8.materials.albedo),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_checkpoint_treedef_repr_change_warns_not_raises(tmp_path):
+    """A treedef-REPR difference with identical leaf shapes/dtypes is
+    a library-version artifact (optax state class reprs change across
+    releases): restore positionally with a warning. A real shape
+    mismatch must still raise."""
+    params = {"a": jnp.ones((2,)), "b": jnp.zeros((3,))}
+    opt_state = (jnp.ones((2,)),)
+    path = str(tmp_path / "ck.npz")
+    optim.save_checkpoint(path, 5, params, opt_state)
+
+    z = dict(np.load(path))
+    sig = str(z["sig_p"])
+    z["sig_p"] = np.asarray("UpgradedTreeDef|" + sig.rsplit("|", 1)[-1])
+    np.savez(path, **z)
+    with pytest.warns(UserWarning, match="treedef repr"):
+        step, p2, _ = optim.load_checkpoint(path, params, opt_state)
+    assert step == 5
+    np.testing.assert_array_equal(np.asarray(p2["a"]),
+                                  np.asarray(params["a"]))
+
+    optim.save_checkpoint(path, 5, params, opt_state)
+    bad = {"a": jnp.ones((4,)), "b": jnp.zeros((3,))}
+    with pytest.raises(optim.CheckpointMismatchError):
+        optim.load_checkpoint(path, bad, opt_state)
