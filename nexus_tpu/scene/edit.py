@@ -15,7 +15,8 @@ untouched array, with
     from the stored object-space block AABBs and the chunk parents
     recomputed — triangle blocks are shared and untouched.
 
-Caveats: the Morton ORDER of entries is not re-sorted (a large move
+Caveats: the spatial (BSP-cluster) ORDER of entries is not re-sorted
+(a large move
 degrades traversal ordering quality, never correctness — rebuild the
 scene when an instance travels far), and the per-octant skip-link
 tables keep their child ordering (topological links stay correct under
