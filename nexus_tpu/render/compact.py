@@ -32,6 +32,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from nexus_tpu.kernels.trace_hbm import TILE_R
+
 _PARK_ORIGIN = 1.0e30  # matches trace_hbm._pack_rays invalid threshold
 
 # Occupancy gate for the adaptive wrappers: compacting costs a fixed
@@ -92,7 +94,7 @@ def compacted_closest_hit(closest_fn, ray_o, ray_d, live):
 # One extra kernel grid size per queue; requires R % (TILE_R *
 # _BUCKET_DIV) == 0 (65k-lane production chunks qualify).
 _BUCKET_DIV = 4
-_BUCKET_ALIGN = 128 * _BUCKET_DIV
+_BUCKET_ALIGN = TILE_R * _BUCKET_DIV
 
 
 def _route(live, thresh):
@@ -123,10 +125,14 @@ def adaptive_any_hit(any_hit_fn, ray_o, ray_d, t_max, live,
     def compacted(width):
         def f():
             src, pos = compact_src(live)
-            srcc = jnp.maximum(src, 0)
+            # Slice the index map BEFORE gathering: the per-index
+            # gather cost is serial (core/gather.py), so the sliced
+            # branch must gather width indices, not all r.
+            src_w = src[:width]
+            srcc = jnp.maximum(src_w, 0)
             hit_c = any_hit_fn(
-                ray_o[srcc][:width], ray_d[srcc][:width],
-                jnp.where(src >= 0, t_max[srcc], 0.0)[:width])
+                ray_o[srcc], ray_d[srcc],
+                jnp.where(src_w >= 0, t_max[srcc], 0.0))
             hit = jnp.pad(hit_c, (0, r - width))
             return live & hit[jnp.where(live, pos, 0)]
         return f
@@ -151,10 +157,11 @@ def adaptive_closest_hit(closest_fn, ray_o, ray_d, live,
     def compacted(width):
         def f():
             src, pos = compact_src(live)
-            srcc = jnp.maximum(src, 0)
-            ok = (src >= 0)[:, None]
-            o_c = jnp.where(ok, ray_o[srcc], _PARK_ORIGIN)[:width]
-            d_c = jnp.where(ok, ray_d[srcc], 1.0)[:width]
+            src_w = src[:width]          # slice map BEFORE gathering
+            srcc = jnp.maximum(src_w, 0)
+            ok = (src_w >= 0)[:, None]
+            o_c = jnp.where(ok, ray_o[srcc], _PARK_ORIGIN)
+            d_c = jnp.where(ok, ray_d[srcc], 1.0)
             t_c, tri_c, inst_c = closest_fn(o_c, d_c)
             t_c = jnp.pad(t_c, (0, r - width),
                           constant_values=_PARK_ORIGIN)

@@ -347,6 +347,9 @@ def render_pixels(scene: SceneData, settings: RenderSettings,
     # its transpose every reverse bounce — the top instanced-bwd sink,
     # docs/perf.md round 5).
     scene = scene.replace(textures=textures.with_quad(scene.textures))
+    if scene.has_env:   # same hoist for the env-map sheet
+        scene = scene.replace(
+            env_map=textures.build_env_quad(scene.env_map))
     n = pixel_idx.shape[0]
     state = rng.init_state(pixel_idx.astype(jnp.uint32), sample_idx)
 

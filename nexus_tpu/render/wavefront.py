@@ -73,6 +73,9 @@ def render_pixels(scene: SceneData, settings: RenderSettings,
     # Hoist the texture neighborhood sheet out of the bounce scan
     # (see megakernel.render_pixels / docs/perf.md round 5).
     scene = scene.replace(textures=_textures.with_quad(scene.textures))
+    if scene.has_env:   # same hoist for the env-map sheet
+        scene = scene.replace(
+            env_map=_textures.build_env_quad(scene.env_map))
     n = pixel_idx.shape[0]
     state = rng.init_state(pixel_idx.astype(jnp.uint32), sample_idx)
 

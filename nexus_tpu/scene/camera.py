@@ -74,6 +74,9 @@ def make_camera(position, look_at=None, forward=None, up=(0.0, 1.0, 0.0),
     up_vec = cross(right, fwd)  # Camera.cpp:145 (right × forward)
 
     aspect = width / float(height)
+    if hfov_deg is None and vfov_deg is None:
+        raise ValueError(
+            "make_camera needs hfov_deg or vfov_deg (got None for both)")
     if hfov_deg is not None and vfov_deg is None:
         half_w = focus_dist * jnp.tan(jnp.deg2rad(hfov_deg) / 2.0)
         half_h = half_w / aspect

@@ -207,8 +207,14 @@ def set_material(scene: SceneData, inst_id: int, mat_id: int) -> SceneData:
     inst_tris = np.nonzero(tri_inst == inst_id)[0]
     old_mat = int(tri_mat[inst_tris[0]]) if inst_tris.size else mat_id
     tri_mat[inst_tris] = mat_id
+    # tri_attr column 24 is what the renderer actually shades from
+    # (view.fetch_attr flat branch) — rebinding tri_mat/tri_meta alone
+    # leaves rendering on the old material.
+    tri_attr = np.asarray(scene.tri_attr).copy()
+    tri_attr[inst_tris, 24] = float(mat_id)
     scene = scene.replace(
         tri_mat=jnp.asarray(tri_mat),
+        tri_attr=jnp.asarray(tri_attr),
         tri_meta=jnp.stack([jnp.asarray(tri_mat, jnp.int32),
                             jnp.asarray(tri_inst, jnp.int32)], axis=-1))
     if emissive[old_mat] == emissive[mat_id]:

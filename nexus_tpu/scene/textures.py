@@ -21,6 +21,8 @@ import flax.struct
 import jax.numpy as jnp
 import numpy as np
 
+from nexus_tpu.core.gather import take_small
+
 
 @flax.struct.dataclass
 class TextureAtlas:
@@ -151,7 +153,11 @@ def sample(atlas: TextureAtlas, tex_id: jnp.ndarray,
         # Static fast path: no gathers for untextured scenes.
         return jnp.ones(tex_id.shape + (4,), jnp.float32)
     tid = jnp.maximum(tex_id, 0)
-    r = atlas.rect[tid]                            # (..., 4)
+    # take_small: a native table[ids] gather costs ~2.6 ms per 65k
+    # indices on TPU regardless of table size (core/gather.py); the
+    # rect table is texture-count-sized, so the one-hot contraction
+    # is the right lowering for this per-lane lookup.
+    r = take_small(atlas.rect, tid)                # (..., 4)
     y0r = r[..., 0]
     x0r = r[..., 1]
     h = r[..., 2].astype(jnp.float32)
@@ -193,11 +199,28 @@ def sample(atlas: TextureAtlas, tex_id: jnp.ndarray,
     return jnp.where((tex_id < 0)[..., None], white, col)
 
 
+def build_env_quad(env: jnp.ndarray) -> jnp.ndarray:
+    """Pack the (H, W, 3) equirect map into its (H, W, 12) 2x2-
+    neighborhood sheet (x+1 wraps, y+1 clamps — the same one-gather
+    bilinear trick as `build_quad`). Renderers call this ONCE per
+    program before the bounce scan and pass the packed sheet as `env`:
+    built at the tap site the sheet is loop-invariant but sits INSIDE
+    the lax.scan over bounces, and XLA does not hoist the materialized
+    concat out of the loop (the quad-field finding, lines 54-66 —
+    the env map never got that fix). The build is differentiable
+    (roll/concat), so trainable env texels keep their gradients."""
+    c10s = jnp.roll(env, -1, axis=1)                     # x+1 wraps
+    c01s = jnp.concatenate([env[1:], env[-1:]], axis=0)  # y+1 clamps
+    c11s = jnp.roll(c01s, -1, axis=1)
+    return jnp.concatenate([env, c10s, c01s, c11s], axis=-1)
+
+
 def sample_equirect(env: jnp.ndarray, direction: jnp.ndarray) -> jnp.ndarray:
     """Equirectangular environment lookup (SampleBackground,
     Nexus/src/Cuda/PathTracer/PathTracer.cu:64-83):
     u = (atan2(z, x) + π) / 2π,  v = 1 − (asin(y) + π/2) / π.
-    env: (H, W, 3) float32 radiance; direction unit (..., 3).
+    env: (H, W, 3) float32 radiance, or the (H, W, 12) pre-packed
+    sheet from `build_env_quad`; direction unit (..., 3).
     """
     h, w = env.shape[0], env.shape[1]
     theta = jnp.arctan2(direction[..., 2], direction[..., 0])
@@ -219,12 +242,10 @@ def sample_equirect(env: jnp.ndarray, direction: jnp.ndarray) -> jnp.ndarray:
     fy = jnp.where((y0 < 0)[..., None], 0.0, fy)
     y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
 
-    # Same one-gather 2x2-neighborhood trick as `sample` (the build is
-    # env-sized and CSE'd; the per-ray tap is one gather, not four).
-    c10s = jnp.roll(env, -1, axis=1)                     # x+1 wraps
-    c01s = jnp.concatenate([env[1:], env[-1:]], axis=0)  # y+1 clamps
-    c11s = jnp.roll(c01s, -1, axis=1)
-    quad = jnp.concatenate([env, c10s, c01s, c11s], axis=-1)  # (H, W, 12)
+    # One-gather 2x2-neighborhood tap. Prefer the pre-packed sheet
+    # (hoisted out of the bounce scan by the renderer); fall back to
+    # an inline build for direct callers outside a scan.
+    quad = env if env.shape[-1] == 12 else build_env_quad(env)
 
     q = quad[y0i, x0i]
     c00, c10, c01, c11 = (q[..., 0:3], q[..., 3:6],

@@ -96,3 +96,35 @@ def test_set_material_emissive_registers_light(base):
     rebuilt = rebuilt_b.build_instanced()
     np.testing.assert_allclose(_render(edited), _render(rebuilt),
                                rtol=1e-5, atol=1e-5)
+
+
+def _build_flat(blob_material):
+    """Flat-scene twin of _build: same geometry via add_mesh."""
+    b = SceneBuilder()
+    b.add_material(albedo=(0, 0, 0), emission=(1, 1, 0.9),
+                   intensity=20.0)
+    b.add_material(albedo=(0.7, 0.7, 0.7))
+    b.add_material(albedo=(0.8, 0.2, 0.2))
+    v, f = blob_mesh(2)
+    b.add_mesh(v, f, 1, _mat(1.0, -1.0, 0.0, 0.0))
+    b.add_mesh(v, f, blob_material, _mat(0.8, 1.2, 0.0, 0.0))
+    qv = np.array([[-3, 3, -3], [3, 3, -3], [3, 3, 3], [-3, 3, 3]],
+                  np.float32)
+    b.add_mesh(qv, np.array([[0, 2, 1], [0, 3, 2]]), 0)
+    b.set_camera(position=(0.0, 1.0, 5.0), look_at=(0.0, 0.0, 0.0),
+                 hfov_deg=55.0, width=32, height=32)
+    return b.build()
+
+
+def test_set_material_swap_flat():
+    """FLAT scenes shade from tri_attr column 24 (view.fetch_attr), not
+    tri_mat. Regression: set_material's flat branch rebound
+    tri_mat/tri_meta only, so the renderer silently kept the old
+    material."""
+    base = _build_flat(2)
+    edited = edit.set_material(base, 1, 1)        # red -> white
+    rebuilt = _build_flat(1)
+    img_e = _render(edited)
+    np.testing.assert_allclose(img_e, _render(rebuilt),
+                               rtol=1e-5, atol=1e-5)
+    assert np.abs(img_e - _render(base)).max() > 1e-4
